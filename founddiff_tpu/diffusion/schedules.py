@@ -154,14 +154,16 @@ def _residual_schedule_from_increments(
 ) -> ResidualSchedule:
     """Assemble posterior coefficients and apply the shared t=0 overrides."""
     betas_cumsum = np.sqrt(betas2_cumsum)
-    posterior_variance = betas2 * betas2_cumsum_prev / betas2_cumsum
-    posterior_variance[0] = 0.0
-
-    posterior_mean_coef1 = betas2_cumsum_prev / betas2_cumsum
-    posterior_mean_coef2 = (
-        betas2 * alphas_cumsum_prev - betas2_cumsum_prev * alphas
-    ) / betas2_cumsum
-    posterior_mean_coef3 = betas2 / betas2_cumsum
+    # t=0 entries can be 0/0 here; they are overridden below exactly as the
+    # reference does after registration (src/DADiff.py:1024-1026).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        posterior_variance = betas2 * betas2_cumsum_prev / betas2_cumsum
+        posterior_variance[0] = 0.0
+        posterior_mean_coef1 = betas2_cumsum_prev / betas2_cumsum
+        posterior_mean_coef2 = (
+            betas2 * alphas_cumsum_prev - betas2_cumsum_prev * alphas
+        ) / betas2_cumsum
+        posterior_mean_coef3 = betas2 / betas2_cumsum
     posterior_log_variance_clipped = np.log(np.clip(posterior_variance, 1e-20, None))
 
     one_minus_alphas_cumsum = 1.0 - alphas_cumsum
