@@ -136,6 +136,8 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
 
     y = pl.pallas_call(
         kernel,
+        # interpret off-TPU so the same kernel logic is exercised by CPU tests
+        interpret=jax.default_backend() != "tpu",
         grid=grid,
         in_specs=[
             chunk_spec_gsd,  # u
