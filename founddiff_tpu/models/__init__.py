@@ -1,0 +1,42 @@
+from founddiff_tpu.models.blocks import (
+    Attention,
+    Block,
+    ChanLayerNorm,
+    ChannelAttention,
+    CrossAttention,
+    Downsample,
+    LinearAttention,
+    RandomOrLearnedSinusoidalPosEmb,
+    ResnetBlock,
+    SinusoidalPosEmb,
+    TimestepEmbedder,
+    TransposedAttention,
+    Upsample,
+    WSConv,
+)
+from founddiff_tpu.models.ss2d import SS2D, MambaBlock
+from founddiff_tpu.models.unet import Unet, UnetRes
+from founddiff_tpu.models.vanilla_unet import TimeResnetBlock, VanillaUnet
+
+__all__ = [
+    "Attention",
+    "Block",
+    "ChanLayerNorm",
+    "ChannelAttention",
+    "CrossAttention",
+    "Downsample",
+    "LinearAttention",
+    "MambaBlock",
+    "RandomOrLearnedSinusoidalPosEmb",
+    "ResnetBlock",
+    "SS2D",
+    "SinusoidalPosEmb",
+    "TimeResnetBlock",
+    "TimestepEmbedder",
+    "TransposedAttention",
+    "Unet",
+    "UnetRes",
+    "Upsample",
+    "VanillaUnet",
+    "WSConv",
+]

@@ -1,0 +1,389 @@
+"""Flax building blocks of the FoundDiff denoiser UNet.
+
+TPU-native (NHWC) re-implementations of the reference blocks in
+src/DADiff.py:122-527: weight-standardized convs, resnet blocks, the
+attention family, and timestep embeddings.  Channel concatenation and
+normalization happen on the trailing axis (XLA's preferred conv layout),
+and every block is a pure `nn.Module`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from founddiff_tpu.models.init import make_torch_bias_init, torch_kernel_init
+
+
+class WSConv(nn.Module):
+    """Weight-standardized conv (reference src/DADiff.py:139-154).
+
+    Kernel is standardized over (kh, kw, in) per output channel at call time
+    with biased variance; eps follows the reference's dtype switch.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        fan_in = in_ch * kh * kw
+        kernel = self.param(
+            "kernel", torch_kernel_init, (kh, kw, in_ch, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", make_torch_bias_init(fan_in), (self.features,), jnp.float32
+        )
+        eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
+        mean = kernel.mean(axis=(0, 1, 2), keepdims=True)
+        var = kernel.var(axis=(0, 1, 2), keepdims=True)
+        kernel = (kernel - mean) * jax.lax.rsqrt(var + eps)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(y.dtype)
+
+
+def conv2d(features, kernel_size, strides=1, padding="SAME", use_bias=True,
+           feature_group_count=1, name=None):
+    """nn.Conv with torch-style init."""
+    ks = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
+    return nn.Conv(
+        features,
+        ks,
+        strides=strides,
+        padding=padding,
+        use_bias=use_bias,
+        feature_group_count=feature_group_count,
+        kernel_init=torch_kernel_init,
+        name=name,
+    )
+
+
+def dense(features, use_bias=True, name=None):
+    return nn.Dense(
+        features, use_bias=use_bias, kernel_init=torch_kernel_init, name=name
+    )
+
+
+class ChanLayerNorm(nn.Module):
+    """Channel LayerNorm with biased variance and scale only
+    (reference src/DADiff.py:157-166); NHWC -> normalize trailing axis."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
+        g = self.param("g", nn.initializers.ones, (self.dim,), jnp.float32)
+        mean = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps) * g.astype(x.dtype)
+
+
+class SinusoidalPosEmb(nn.Module):
+    """reference src/DADiff.py:173-185 — note sin-first ordering."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):
+        half = self.dim // 2
+        scale = math.log(10000) / (half - 1)
+        freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -scale)
+        args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class RandomOrLearnedSinusoidalPosEmb(nn.Module):
+    """reference src/DADiff.py:189-205 (crowsonkb random fourier features)."""
+
+    dim: int
+    is_random: bool = False
+
+    @nn.compact
+    def __call__(self, t):
+        half = self.dim // 2
+        w = self.param("weights", nn.initializers.normal(1.0), (half,), jnp.float32)
+        if self.is_random:
+            w = jax.lax.stop_gradient(w)
+        t = t.astype(jnp.float32)[:, None]
+        freqs = t * w[None, :] * 2 * math.pi
+        return jnp.concatenate([t, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
+class TimestepEmbedder(nn.Module):
+    """DiT-style embedder (reference src/DADiff.py:490-527) — cos-first
+    frequency ordering, MLP(hidden, SiLU, hidden)."""
+
+    hidden_size: int
+    frequency_embedding_size: int = 256
+
+    @staticmethod
+    def timestep_embedding(t, dim, max_period=10000):
+        half = dim // 2
+        freqs = jnp.exp(
+            -math.log(max_period)
+            * jnp.arange(half, dtype=jnp.float32)
+            / half
+        )
+        args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        if dim % 2:
+            emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+        return emb
+
+    @nn.compact
+    def __call__(self, t):
+        emb = self.timestep_embedding(t, self.frequency_embedding_size)
+        emb = dense(self.hidden_size)(emb)
+        emb = nn.silu(emb)
+        return dense(self.hidden_size)(emb)
+
+
+class Block(nn.Module):
+    """WSConv -> GroupNorm -> (scale/shift) -> SiLU (reference src/DADiff.py:214-233)."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, scale_shift=None):
+        x = WSConv(self.dim_out, (3, 3), name="proj")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1) + shift
+        return nn.silu(x)
+
+
+class ResnetBlock(nn.Module):
+    """Single-block residual unit (reference src/DADiff.py:398-427; the
+    reference's second block and time MLP are commented out — capability
+    preserved via ``use_time_emb`` for future variants)."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, time_emb=None):
+        h = Block(self.dim_out, groups=self.groups, name="block1")(x)
+        if x.shape[-1] != self.dim_out:
+            x = conv2d(self.dim_out, 1, name="res_conv")(x)
+        return h + x
+
+
+class Downsample(nn.Module):
+    """4x4 stride-2 conv (reference src/DADiff.py:136)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.dim_out,
+            (4, 4),
+            strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            kernel_init=torch_kernel_init,
+            name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    """nearest x2 + 3x3 conv (reference src/DADiff.py:129-133)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return conv2d(self.dim_out, 3, name="conv")(x)
+
+
+class ChannelAttention(nn.Module):
+    """RCAN squeeze-excite channel attention (reference src/DADiff.py:232-249)."""
+
+    num_feat: int
+    squeeze_factor: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        y = x.mean(axis=(1, 2), keepdims=True)
+        y = conv2d(self.num_feat // self.squeeze_factor, 1)(y)
+        y = nn.relu(y)
+        y = conv2d(self.num_feat, 1)(y)
+        return x * nn.sigmoid(y)
+
+
+class TransposedAttention(nn.Module):
+    """Channel ('transposed') attention: C x C attention with the pixel axis
+    contracted, never materializing L x L (reference src/DADiff.py:252-285).
+    The context argument is accepted and ignored, as in the reference."""
+
+    dim: int
+    heads: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, c=None):
+        B, H, W, C = x.shape
+        ch = C // self.heads
+        temperature = self.param(
+            "temperature", nn.initializers.ones, (self.heads, 1, 1), jnp.float32
+        )
+        qkv = conv2d(self.dim * 3, 1, use_bias=self.use_bias, name="qkv")(x)
+        qkv = conv2d(
+            self.dim * 3,
+            3,
+            use_bias=self.use_bias,
+            feature_group_count=self.dim * 3,
+            name="qkv_dwconv",
+        )(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def to_heads(u):  # [B,H,W,C] -> [B, heads, ch, L]
+            u = u.reshape(B, H * W, self.heads, ch)
+            return u.transpose(0, 2, 3, 1)
+
+        q, k, v = map(to_heads, (q, k, v))
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+        attn = jnp.einsum(
+            "bhcl,bhdl->bhcd", q, k, preferred_element_type=jnp.float32
+        ) * temperature.astype(jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhcd,bhdl->bhcl", attn, v)
+        out = out.transpose(0, 3, 1, 2).reshape(B, H, W, C)
+        return conv2d(self.dim, 1, use_bias=self.use_bias, name="project_out")(out)
+
+
+class LinearAttention(nn.Module):
+    """Linear attention (reference src/DADiff.py:287-317)."""
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x, c=None):
+        B, H, W, C = x.shape
+        hidden = self.heads * self.dim_head
+        scale = self.dim_head**-0.5
+        qkv = conv2d(hidden * 3, 1, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def to_heads(u):  # [B,H,W,hd] -> [B, heads, d, L]
+            u = u.reshape(B, H * W, self.heads, self.dim_head)
+            return u.transpose(0, 2, 3, 1)
+
+        q, k, v = map(to_heads, (q, k, v))
+        q = jax.nn.softmax(q, axis=-2) * scale
+        k = jax.nn.softmax(k, axis=-1)
+        v = v / (H * W)
+        context = jnp.einsum("bhdn,bhen->bhde", k, v)
+        out = jnp.einsum("bhde,bhdn->bhen", context, q)
+        out = out.transpose(0, 3, 1, 2).reshape(B, H, W, hidden)
+        out = conv2d(self.dim, 1, name="to_out")(out)
+        return ChanLayerNorm(self.dim, name="to_out_norm")(out)
+
+
+class Attention(nn.Module):
+    """Full softmax self-attention (reference src/DADiff.py:369-392), used by
+    the vanilla UNet path at low resolutions."""
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        hidden = self.heads * self.dim_head
+        scale = self.dim_head**-0.5
+        qkv = conv2d(hidden * 3, 1, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def to_heads(u):  # -> [B, heads, L, d]
+            return u.reshape(B, H * W, self.heads, self.dim_head).transpose(
+                0, 2, 1, 3
+            )
+
+        q, k, v = map(to_heads, (q, k, v))
+        sim = jnp.einsum(
+            "bhid,bhjd->bhij", q * scale, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, H, W, hidden)
+        return conv2d(self.dim, 1, name="to_out")(out)
+
+
+class CrossAttention(nn.Module):
+    """Pixel-to-context cross attention (reference src/DADiff.py:319-366);
+    context is the Dose-CLIP content embedding [B, 1, 256]."""
+
+    query_dim: int
+    context_dim: int = 256
+    heads: int = 4
+    dim_head: int = 32
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, context=None, deterministic: bool = True):
+        B, H, W, C = x.shape
+        inner = self.heads * self.dim_head
+        scale = self.dim_head**-0.5
+        xf = x.reshape(B, H * W, C)
+        ctx = xf if context is None else context
+
+        q = dense(inner, use_bias=False, name="to_q")(xf)
+        k = dense(inner, use_bias=False, name="to_k")(ctx)
+        v = dense(inner, use_bias=False, name="to_v")(ctx)
+
+        def to_heads(u):
+            return u.reshape(B, -1, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = map(to_heads, (q, k, v))
+        sim = jnp.einsum(
+            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, H * W, inner)
+        out = dense(self.query_dim, name="to_out")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return out.reshape(B, H, W, self.query_dim)
+
+
+class PreNorm(nn.Module):
+    dim: int
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x):
+        return self.fn(ChanLayerNorm(self.dim)(x))
+
+
+class Residual(nn.Module):
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x, *args, **kwargs):
+        return self.fn(x, *args, **kwargs) + x
+
+
+def modulate(x, shift, scale):
+    """adaLN modulation for NHWC feature maps (reference src/DADiff.py:450-451)."""
+    return x * (1 + scale[:, None, None, :]) + shift[:, None, None, :]

@@ -1,0 +1,215 @@
+"""SS2D (2-D selective scan) block and the adaLN-Zero Mamba block, in Flax.
+
+TPU-native rebuild of the VMamba-style ``SS2D`` module
+(reference src/emamba2.py:404-751) and the DiT-style ``Mamba_block``
+(reference src/DADiff.py:453-488):
+
+- the 4-direction decimated scan runs through the Pallas selective-scan
+  kernel (:mod:`founddiff_tpu.ops`), with the per-direction projections as
+  single stacked einsums (MXU-friendly [B,K,L,D] @ [K,C,D] contractions);
+- dt/A/D parameters follow the reference's S4D-real init
+  (src/emamba2.py:538-586);
+- conditioning: the Dose-CLIP content embedding is projected and added
+  before ``out_proj`` (src/emamba2.py:522-525, 748).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from founddiff_tpu.models.blocks import (
+    CrossAttention,
+    TransposedAttention,
+    dense,
+    modulate,
+)
+from founddiff_tpu.models.init import torch_kernel_init
+from founddiff_tpu.ops.selective_scan import (
+    efficient_merge,
+    efficient_scan,
+    selective_scan,
+)
+
+
+def _dt_weight_init(dt_rank: int, dt_scale: float = 1.0):
+    std = dt_rank**-0.5 * dt_scale
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -std, std)
+
+    return init
+
+
+def _dt_bias_init(dt_min=0.001, dt_max=0.1, dt_init_floor=1e-4):
+    def init(key, shape, dtype=jnp.float32):
+        dt = jnp.exp(
+            jax.random.uniform(key, shape, jnp.float32)
+            * (math.log(dt_max) - math.log(dt_min))
+            + math.log(dt_min)
+        )
+        dt = jnp.clip(dt, dt_init_floor, None)
+        # inverse of softplus (reference src/emamba2.py:557-559)
+        return (dt + jnp.log(-jnp.expm1(-dt))).astype(dtype)
+
+    return init
+
+
+def _a_log_init(key, shape, dtype=jnp.float32):
+    # S4D-real: A[d, n] = n+1 -> store log (reference src/emamba2.py:566-577)
+    K, D, N = shape
+    a = jnp.arange(1, N + 1, dtype=jnp.float32)
+    return jnp.log(jnp.broadcast_to(a, (K, D, N))).astype(dtype)
+
+
+class SS2D(nn.Module):
+    """2-D selective scan module (reference src/emamba2.py:404-751)."""
+
+    d_model: int
+    d_state: int = 16
+    ssm_ratio: float = 2.0
+    dt_rank: Optional[int] = None  # None -> ceil(d_model / 16)
+    d_conv: int = 3
+    conv_bias: bool = True
+    dropout: float = 0.0
+    use_bias: bool = False
+    step_size: int = 2
+    context_dim: int = 256
+    scan_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, c=None, deterministic: bool = True):
+        """x: [B, H, W, d_model]; c: [B, 1, context_dim] content embedding."""
+        B, H, W, _ = x.shape
+        d_inner = int(self.ssm_ratio * self.d_model)
+        R = self.dt_rank or -(-self.d_model // 16)
+        N = self.d_state
+        K = 4
+
+        # conditioning projection (reference src/emamba2.py:522-525)
+        if c is not None:
+            local = nn.silu(
+                dense(d_inner, use_bias=False, name="cond_proj")(c)
+            )  # [B, 1, d_inner]
+
+        xz = dense(2 * d_inner, use_bias=self.use_bias, name="in_proj")(x)
+        xs, z = jnp.split(xz, 2, axis=-1)
+        z = nn.silu(z)
+
+        xs = nn.Conv(
+            d_inner,
+            (self.d_conv, self.d_conv),
+            padding="SAME",
+            feature_group_count=d_inner,
+            use_bias=self.conv_bias,
+            kernel_init=torch_kernel_init,
+            name="dwconv",
+        )(xs)
+        xs = nn.silu(xs)
+
+        y = self._scan_core(xs, H, W, d_inner, R, N, K)
+        y = nn.LayerNorm(epsilon=1e-5, name="out_norm")(y)
+
+        y = y * z
+        if c is not None:
+            y = y + local[:, :, None, :]  # broadcast [B,1,1,d_inner] over H, W
+        out = dense(self.d_model, use_bias=self.use_bias, name="out_proj")(y)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+
+    def _scan_core(self, x, H, W, d_inner, R, N, K):
+        """cross_selective_scan (reference src/emamba2.py:295-367)."""
+        xs = efficient_scan(x, self.step_size)  # [B, K, L, D]
+
+        x_proj_weight = self.param(
+            "x_proj_weight",
+            torch_kernel_init,
+            (K, R + 2 * N, d_inner),
+            jnp.float32,
+        )
+        dt_projs_weight = self.param(
+            "dt_projs_weight", _dt_weight_init(R), (K, d_inner, R), jnp.float32
+        )
+        dt_projs_bias = self.param(
+            "dt_projs_bias", _dt_bias_init(), (K, d_inner), jnp.float32
+        )
+        A_logs = self.param("A_logs", _a_log_init, (K, d_inner, N), jnp.float32)
+        Ds = self.param("Ds", nn.initializers.ones, (K, d_inner), jnp.float32)
+
+        x_dbl = jnp.einsum(
+            "bkld,kcd->bklc", xs, x_proj_weight.astype(xs.dtype)
+        )
+        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_projs_weight.astype(xs.dtype))
+
+        As = -jnp.exp(A_logs)
+        ys = selective_scan(
+            xs,
+            dts,
+            As,
+            Bs,
+            Cs,
+            Ds,
+            delta_bias=dt_projs_bias,
+            delta_softplus=True,
+            impl=self.scan_impl,
+        )
+        y = efficient_merge(ys, H, W, self.step_size)
+        return y.astype(x.dtype)
+
+
+class MambaBlock(nn.Module):
+    """adaLN-Zero conditioned SS2D + channel-attention block
+    (reference ``Mamba_block`` src/DADiff.py:453-488)."""
+
+    hidden_size: int
+    d_state: int
+    expand: float = 2.0
+    dropout: float = 0.0
+    cross: bool = False
+    time_emb_dim: Optional[int] = None
+    scan_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, c, t, deterministic: bool = True):
+        """x: [B,H,W,hidden]; c: [B,1,256]; t: [B,time_emb_dim]."""
+        h = self.hidden_size
+        # zero-init adaLN (reference src/DADiff.py:473-474)
+        mod = nn.Dense(
+            6 * h,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="adaLN",
+        )
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+            mod(nn.silu(t)), 6, axis=-1
+        )
+
+        x1 = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = x + gate_msa[:, None, None, :] * SS2D(
+            d_model=h,
+            d_state=self.d_state,
+            ssm_ratio=self.expand,
+            dropout=self.dropout,
+            scan_impl=self.scan_impl,
+            name="mamba",
+        )(modulate(x1, shift_msa, scale_msa), c, deterministic=deterministic)
+
+        x2 = nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, name="norm2"
+        )(x)
+        x2 = modulate(x2, shift_mlp, scale_mlp)
+        if self.cross:
+            attn_out = CrossAttention(query_dim=h, name="attn_blk")(
+                x2, c, deterministic=deterministic
+            )
+        else:
+            attn_out = TransposedAttention(
+                dim=h, heads=max(1, h // 32), name="attn_blk"
+            )(x2, c)
+        x = x + gate_mlp[:, None, None, :] * attn_out
+        return x
