@@ -10,7 +10,7 @@ and every block is a pure `nn.Module`.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,26 +54,86 @@ class WSConv(nn.Module):
         return y + bias.astype(y.dtype)
 
 
+class TorchConv(nn.Module):
+    """nn.Conv with torch-default init for kernel AND bias
+    (kaiming_uniform(a=sqrt(5)) / U(+-1/sqrt(fan_in)))."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Any = 1
+    padding: Any = "SAME"
+    use_bias: bool = True
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1] // self.feature_group_count
+        fan_in = in_ch * kh * kw
+        kernel = self.param(
+            "kernel", torch_kernel_init, (kh, kw, in_ch, self.features),
+            jnp.float32,
+        )
+        strides = (
+            (self.strides, self.strides)
+            if isinstance(self.strides, int)
+            else self.strides
+        )
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", make_torch_bias_init(fan_in), (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 def conv2d(features, kernel_size, strides=1, padding="SAME", use_bias=True,
            feature_group_count=1, name=None):
-    """nn.Conv with torch-style init."""
+    """Conv with torch-style kernel+bias init."""
     ks = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
-    return nn.Conv(
+    return TorchConv(
         features,
         ks,
         strides=strides,
         padding=padding,
         use_bias=use_bias,
         feature_group_count=feature_group_count,
-        kernel_init=torch_kernel_init,
         name=name,
     )
 
 
+class TorchDense(nn.Module):
+    """nn.Dense with torch-default kernel AND bias init."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_kernel_init, (fan_in, self.features), jnp.float32
+        )
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", make_torch_bias_init(fan_in), (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 def dense(features, use_bias=True, name=None):
-    return nn.Dense(
-        features, use_bias=use_bias, kernel_init=torch_kernel_init, name=name
-    )
+    return TorchDense(features, use_bias=use_bias, name=name)
 
 
 class ChanLayerNorm(nn.Module):
@@ -190,13 +250,8 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(
-            self.dim_out,
-            (4, 4),
-            strides=(2, 2),
-            padding=((1, 1), (1, 1)),
-            kernel_init=torch_kernel_init,
-            name="conv",
+        return conv2d(
+            self.dim_out, 4, strides=2, padding=((1, 1), (1, 1)), name="conv"
         )(x)
 
 

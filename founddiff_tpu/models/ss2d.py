@@ -101,13 +101,14 @@ class SS2D(nn.Module):
         xs, z = jnp.split(xz, 2, axis=-1)
         z = nn.silu(z)
 
-        xs = nn.Conv(
+        from founddiff_tpu.models.blocks import conv2d
+
+        xs = conv2d(
             d_inner,
-            (self.d_conv, self.d_conv),
+            self.d_conv,
             padding="SAME",
             feature_group_count=d_inner,
             use_bias=self.conv_bias,
-            kernel_init=torch_kernel_init,
             name="dwconv",
         )(xs)
         xs = nn.silu(xs)

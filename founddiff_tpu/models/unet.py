@@ -99,8 +99,12 @@ class Unet(nn.Module):
         t = dense(time_dim, name="time_mlp_2")(t)
 
         # learned-prompt dose conditioning (reference src/DADiff.py:606-611,
-        # 703-709): t += prompt_mlp(softmax(text_mlp(dose)) * prompt)
-        if self.condition and dose_embedding is not None:
+        # 703-709): t += prompt_mlp(softmax(text_mlp(dose)) * prompt).
+        # Params exist whenever condition=True (zero embeddings substitute for
+        # a missing tower) so the param tree is stable.
+        if self.condition:
+            if dose_embedding is None:
+                dose_embedding = jnp.zeros((x.shape[0], self.context_dim), x.dtype)
             prompt = self.param(
                 "prompt",
                 lambda key, shape: jax.random.uniform(key, shape),
@@ -111,8 +115,10 @@ class Unet(nn.Module):
             pe = dense(time_dim, name="text_mlp_2")(pe)
             pe = jax.nn.softmax(pe, axis=1) * prompt
             t = t + dense(time_dim, name="prompt_mlp")(pe)
+            if content_embedding is None:
+                content_embedding = jnp.zeros((x.shape[0], 1, 256), x.dtype)
 
-        c = content_embedding  # [B, 1, 256]
+        c = content_embedding  # [B, 1, 256] (None when condition=False)
 
         dims = [init_dim] + [dim * m for m in mults]
         in_out = list(zip(dims[:-1], dims[1:]))
