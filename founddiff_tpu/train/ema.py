@@ -30,7 +30,8 @@ class EmaState:
 
     @classmethod
     def create(cls, params):
-        return cls(params=jax.tree_util.tree_map(jnp.asarray, params),
+        # copy (not alias) so TrainState donation never sees shared buffers
+        return cls(params=jax.tree_util.tree_map(jnp.copy, params),
                    step=jnp.zeros((), jnp.int32))
 
 
