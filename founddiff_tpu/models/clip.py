@@ -410,13 +410,24 @@ class CLIPIQA(nn.Module):
     # with pos_embedding=False (src/DADiff.py:590-600, src/DACLIP.py:1203)
     backbone_resolution: int = 224
     embed_dim: int = 1024
+    # RN50 defaults; overridable for micro test/dryrun towers
+    vision_layers: Tuple[int, ...] = (3, 4, 6, 3)
+    vision_width: int = 64
+    transformer_width: int = 512
+    transformer_layers: int = 12
+    transformer_heads: int = 8
 
     def setup(self):
         self.clip_model = CLIP(
             embed_dim=self.embed_dim,
             image_resolution=self.backbone_resolution,
+            vision_layers=self.vision_layers,
+            vision_width=self.vision_width,
+            transformer_width=self.transformer_width,
+            transformer_layers=self.transformer_layers,
+            transformer_heads=self.transformer_heads,
         )
-        self.prompt_learner = PromptLearner()
+        self.prompt_learner = PromptLearner(width=self.transformer_width)
         self.head1_fc1 = dense(1024, name="head1_fc1")
         self.head1_fc2 = dense(1024, name="head1_fc2")
         self.head2_fc1 = dense(1024, name="head2_fc1")

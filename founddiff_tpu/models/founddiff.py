@@ -38,10 +38,12 @@ class FoundDiffDenoiser(nn.Module):
     test_res_or_noise: str = "res"
     scan_impl: str = "auto"
     clip_backbone: str = "RN50"
+    # micro-tower overrides for tests/dryrun, as hashable kv pairs
+    clip_overrides: Tuple[Tuple[str, object], ...] = ()
 
     def setup(self):
         assert self.clip_backbone == "RN50", "reference ships RN50 only"
-        self.dose_encoder = CLIPIQA()
+        self.dose_encoder = CLIPIQA(**dict(self.clip_overrides))
         self.model = UnetRes(
             dim=self.dim,
             dim_mults=self.dim_mults,

@@ -47,10 +47,13 @@ def _pick_chunk(G: int, D: int, L: int) -> int:
 
 
 def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
-                 h_ref, *, chunk: int, softplus: bool):
+                 hout_ref, h_ref, *, chunk: int, softplus: bool,
+                 seq_len: int, padded: bool):
     """One grid step = one L-chunk.  Shapes:
     u_ref, dl_ref, y_ref: [1, G, S, D]; b_ref, c_ref: [1, G, N, S];
-    a_ref: [G, N, D]; d_ref, bias_ref: [G, D]; h_ref (scratch): [G, N, D].
+    a_ref: [G, N, D]; d_ref, bias_ref: [G, D]; hout_ref: [G, N, D] (final
+    state output); h_ref (scratch): [G, N, D].  ``seq_len`` masks trailing
+    padded steps so the carried state is exactly the state at step L.
     """
 
     @pl.when(pl.program_id(0) == 0)
@@ -60,12 +63,15 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
     a = a_ref[...]  # [G, N, D]
     d_skip = d_ref[...]  # [G, D]
     bias = bias_ref[...]  # [G, D]
+    base = pl.program_id(0) * chunk
 
     def step(s, h):
         u_s = u_ref[0, :, s, :]  # [G, D]
         dl_s = dl_ref[0, :, s, :] + bias  # [G, D]
         if softplus:
             dl_s = jax.nn.softplus(dl_s)
+        if padded:
+            dl_s = jnp.where(base + s < seq_len, dl_s, 0.0)
         b_s = b_ref[0, :, :, pl.ds(s, 1)]  # [G, N, 1]
         c_s = c_ref[0, :, :, pl.ds(s, 1)]  # [G, N, 1]
 
@@ -76,14 +82,16 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
         y_ref[0, :, s, :] = y_s
         return h
 
-    h_ref[...] = jax.lax.fori_loop(0, chunk, step, h_ref[...])
+    h = jax.lax.fori_loop(0, chunk, step, h_ref[...])
+    h_ref[...] = h
+    hout_ref[...] = h
 
 
 @functools.partial(jax.jit, static_argnames=("delta_softplus",))
 def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
     """u, delta: [B,K,L,D]; A: [K,D,N]; Bmat,Cmat: [B,K,L,N]; Dskip,bias: [K,D].
 
-    Returns y: [B,K,L,D] fp32.
+    Returns (y: [B,K,L,D] fp32, h_last: [B,K,D,N] fp32).
     """
     B, K, L, D = u.shape
     N = A.shape[-1]
@@ -121,7 +129,13 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
     d_g = jnp.broadcast_to(Dskip.astype(f32)[None], (B, K, D)).reshape(G, D)
     bias_g = jnp.broadcast_to(delta_bias.astype(f32)[None], (B, K, D)).reshape(G, D)
 
-    kernel = functools.partial(_scan_kernel, chunk=S, softplus=delta_softplus)
+    kernel = functools.partial(
+        _scan_kernel,
+        chunk=S,
+        softplus=delta_softplus,
+        seq_len=L,
+        padded=bool(pad),
+    )
 
     grid = (C,)
     chunk_spec_gsd = pl.BlockSpec(
@@ -134,7 +148,7 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
 
-    y = pl.pallas_call(
+    y, h_last = pl.pallas_call(
         kernel,
         # interpret off-TPU so the same kernel logic is exercised by CPU tests
         interpret=jax.default_backend() != "tpu",
@@ -148,8 +162,11 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
             full((G, D)),  # D skip
             full((G, D)),  # delta bias
         ],
-        out_specs=chunk_spec_gsd,
-        out_shape=jax.ShapeDtypeStruct((C, G, S, D), f32),
+        out_specs=(chunk_spec_gsd, full((G, N, D))),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, G, S, D), f32),
+            jax.ShapeDtypeStruct((G, N, D), f32),
+        ),
         scratch_shapes=[pltpu.VMEM((G, N, D), f32)],
         cost_estimate=pl.CostEstimate(
             flops=9 * C * S * G * N * D,
@@ -159,17 +176,21 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
     )(u_c, dl_c, b_c, c_c, a_g, d_g, bias_g)
 
     y = y.transpose(1, 0, 2, 3).reshape(G, Lp, D)[:, :L]
-    return y.reshape(B, K, L, D)
+    h_last = h_last.reshape(B, K, N, D).transpose(0, 1, 3, 2)  # [B,K,D,N]
+    return y.reshape(B, K, L, D), h_last
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _selective_scan_pallas(u, delta, A, Bmat, Cmat, Dskip, delta_bias,
                            delta_softplus):
-    return _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus)
+    y, _ = _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias,
+                       delta_softplus)
+    return y
 
 
 def _ss_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
-    y = _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus)
+    y, _ = _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias,
+                       delta_softplus)
     return y, (u, delta, A, Bmat, Cmat, Dskip, delta_bias)
 
 
@@ -195,6 +216,7 @@ def selective_scan_pallas(
     Dskip: Optional[jnp.ndarray] = None,
     delta_bias: Optional[jnp.ndarray] = None,
     delta_softplus: bool = True,
+    return_last_state: bool = False,
 ):
     """Public entry.  See module docstring for shapes."""
     K, D = A.shape[0], A.shape[1]
@@ -202,6 +224,11 @@ def selective_scan_pallas(
         Dskip = jnp.zeros((K, D), jnp.float32)
     if delta_bias is None:
         delta_bias = jnp.zeros((K, D), jnp.float32)
+    if return_last_state:
+        # fwd-only path (no VJP): used by sequence-sharded inference
+        return _pallas_fwd(
+            u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus
+        )
     return _selective_scan_pallas(
         u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus
     )

@@ -102,7 +102,7 @@ def selective_scan_ref(
 
 def selective_scan_chunked(
     u, delta, A, Bmat, Cmat, Dskip=None, delta_bias=None, delta_softplus=True,
-    chunk: int = 256,
+    chunk: int = 256, return_last_state: bool = False,
 ):
     """``lax.scan`` over L-chunks with per-chunk remat; bounded memory & AD-able.
 
@@ -147,16 +147,20 @@ def selective_scan_chunked(
         return h_next, y
 
     h0 = jnp.zeros((B, K, D, N), jnp.float32)
-    _, ys = jax.lax.scan(step, h0, xs)
+    h_last, ys = jax.lax.scan(step, h0, xs)
     y = ys.transpose(1, 2, 0, 3, 4).reshape(B, K, Lp, D)[:, :, :L]
     if Dskip is not None:
         y = y + u * Dskip[None, :, None, :]
+    if return_last_state:
+        # padded steps have delta'=0 (abar=1, bbar=0), so the carry equals
+        # the state at step L
+        return y, h_last
     return y
 
 
 def selective_scan(
     u, delta, A, Bmat, Cmat, Dskip=None, delta_bias=None, delta_softplus=True,
-    impl: str = "auto",
+    impl: str = "auto", return_last_state: bool = False,
 ):
     """Dispatching selective scan.
 
@@ -171,17 +175,20 @@ def selective_scan(
         )
     if impl == "ref":
         return selective_scan_ref(
-            u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus
+            u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus,
+            return_last_state=return_last_state,
         )
     if impl == "chunked":
         return selective_scan_chunked(
-            u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus
+            u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus,
+            return_last_state=return_last_state,
         )
     if impl == "pallas":
         from founddiff_tpu.ops.scan_pallas import selective_scan_pallas
 
         return selective_scan_pallas(
-            u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus
+            u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus,
+            return_last_state=return_last_state,
         )
     raise ValueError(f"unknown selective_scan impl {impl!r}")
 
