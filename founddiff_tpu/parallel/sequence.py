@@ -104,6 +104,5 @@ def seq_sharded_selective_scan(
         mesh=mesh,
         in_specs=(bspec, bspec, rep, bspec, bspec, rep, rep),
         out_specs=bspec,
-        check_rep=False,
     )
     return fn(u, delta, A, Bmat, Cmat, Dskip, delta_bias)
