@@ -1,0 +1,78 @@
+"""Headline benchmark: DDIM 512x512 CT-slice denoising throughput per chip.
+
+Runs the flagship FoundDiff model (UnetRes dim 64 x (1,2,4,8) with SS2D
+Mamba blocks + frozen Dose-CLIP RN50 tower, hoisted out of the timestep
+loop) through the DDIM sampler and reports slices/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "slices/sec/chip", "vs_baseline": N}
+
+Baseline note: the reference repo publishes no numbers (BASELINE.md).  The
+``vs_baseline`` ratio is computed against REF_EST_SLICES_PER_SEC, a
+documented engineering estimate of the CUDA reference at the same setting
+(DDIM-50, 512x512, batch 1 on an A100-class GPU: ~50 UNet+RN50 forwards per
+slice at ~40 ms each => ~0.5 slices/sec).  The driver-supplied north star is
+>= 10x that estimate.
+
+Env overrides: BENCH_SIZE, BENCH_STEPS, BENCH_BATCH, BENCH_REPEATS,
+BENCH_DTYPE (float32|bfloat16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_EST_SLICES_PER_SEC = 0.5  # estimated CUDA reference, DDIM-50 512^2 bs1
+
+
+def main() -> None:
+    size = int(os.environ.get("BENCH_SIZE", 512))
+    steps = int(os.environ.get("BENCH_STEPS", 50))
+    batch = int(os.environ.get("BENCH_BATCH", 1))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16" else jnp.float32
+
+    from founddiff_tpu.config import Config
+    from founddiff_tpu.factory import build
+    from founddiff_tpu.pipeline import make_hoisted_sampler
+
+    cfg = Config()
+    cfg.diffusion.image_size = size
+    cfg.diffusion.sampling_timesteps = steps
+    diffusion, model, params = build(cfg)
+
+    sampler = jax.jit(make_hoisted_sampler(model, diffusion, use_test_schedule=True))
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(batch, size, size, 1), dtype
+    )
+
+    # warmup/compile
+    out = sampler(params, rng, x)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        out = sampler(params, jax.random.fold_in(rng, i), x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    slices_per_sec = repeats * batch / dt
+    result = {
+        "metric": f"ddim{steps}_{size}x{size} CT slice denoise throughput",
+        "value": round(slices_per_sec, 4),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(slices_per_sec / REF_EST_SLICES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

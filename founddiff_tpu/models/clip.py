@@ -428,8 +428,10 @@ class CLIPIQA(nn.Module):
             transformer_heads=self.transformer_heads,
         )
         self.prompt_learner = PromptLearner(width=self.transformer_width)
+        # head1: embed_dim -> 1024 -> embed_dim (reference Linear(1024,1024)
+        # pairs with RN50's embed_dim=1024, src/DACLIP.py:1179-1188)
         self.head1_fc1 = dense(1024, name="head1_fc1")
-        self.head1_fc2 = dense(1024, name="head1_fc2")
+        self.head1_fc2 = dense(self.embed_dim, name="head1_fc2")
         self.head2_fc1 = dense(1024, name="head2_fc1")
         self.head2_fc2 = dense(256, name="head2_fc2")
 

@@ -50,7 +50,8 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
                  hout_ref, h_ref, *, chunk: int, softplus: bool,
                  seq_len: int, padded: bool):
     """One grid step = one L-chunk.  Shapes:
-    u_ref, dl_ref, y_ref: [1, G, S, D]; b_ref, c_ref: [1, G, N, S];
+    u_ref, dl_ref, y_ref: [1, G, S, D]; b_ref, c_ref: [1, S, G, N] (step on a
+    non-tiled axis — Mosaic cannot dynamically slice the lane dim);
     a_ref: [G, N, D]; d_ref, bias_ref: [G, D]; hout_ref: [G, N, D] (final
     state output); h_ref (scratch): [G, N, D].  ``seq_len`` masks trailing
     padded steps so the carried state is exactly the state at step L.
@@ -72,8 +73,8 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
             dl_s = jax.nn.softplus(dl_s)
         if padded:
             dl_s = jnp.where(base + s < seq_len, dl_s, 0.0)
-        b_s = b_ref[0, :, :, pl.ds(s, 1)]  # [G, N, 1]
-        c_s = c_ref[0, :, :, pl.ds(s, 1)]  # [G, N, 1]
+        b_s = b_ref[0, s][:, :, None]  # [G, N, 1]
+        c_s = c_ref[0, s][:, :, None]  # [G, N, 1]
 
         abar = jnp.exp(dl_s[:, None, :] * a)  # [G, N, D]
         x_s = (dl_s * u_s)[:, None, :]  # [G, 1, D]
@@ -111,17 +112,17 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
         x = x.reshape(G, C, S, -1).transpose(1, 0, 2, 3)
         return x.astype(f32)
 
-    def to_gns(x):  # [B,K,L,N] -> [C, G, N, S]
+    def to_sgn(x):  # [B,K,L,N] -> [C, S, G, N]
         x = x.reshape(G, L, -1)
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        x = x.reshape(G, C, S, -1).transpose(1, 0, 3, 2)
+        x = x.reshape(G, C, S, -1).transpose(1, 2, 0, 3)
         return x.astype(f32)
 
     u_c = to_gsd(u)
     dl_c = to_gsd(delta)
-    b_c = to_gns(Bmat)
-    c_c = to_gns(Cmat)
+    b_c = to_sgn(Bmat)
+    c_c = to_sgn(Cmat)
 
     a_g = jnp.broadcast_to(
         jnp.transpose(A.astype(f32), (0, 2, 1))[None], (B, K, N, D)
@@ -141,8 +142,8 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
     chunk_spec_gsd = pl.BlockSpec(
         (1, G, S, D), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    chunk_spec_gns = pl.BlockSpec(
-        (1, G, N, S), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    chunk_spec_sgn = pl.BlockSpec(
+        (1, S, G, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -156,8 +157,8 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
         in_specs=[
             chunk_spec_gsd,  # u
             chunk_spec_gsd,  # delta
-            chunk_spec_gns,  # B
-            chunk_spec_gns,  # C
+            chunk_spec_sgn,  # B
+            chunk_spec_sgn,  # C
             full((G, N, D)),  # A
             full((G, D)),  # D skip
             full((G, D)),  # delta bias

@@ -1,0 +1,56 @@
+"""Inference pipelines.
+
+The headline serving path: conditional DDIM denoising of CT slices with the
+frozen Dose-CLIP tower *hoisted* out of the timestep loop.  The reference
+recomputes the full RN50 + prompt tower inside every UNet call
+(src/DADiff.py:692, src/DACLIP.py:1200); since both are functions of the
+fixed conditioning image only, they are computed once per slice here and the
+bound embeddings ride the ``lax.scan`` — with 2-step DDIM that alone removes
+~2/3 of the tower FLOPs, with DDIM-50 ~98%.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from founddiff_tpu.diffusion.residual import (
+    ResidualDiffusion,
+    normalize_to_neg_one_to_one,
+)
+
+
+def make_hoisted_sampler(
+    model,
+    diffusion: ResidualDiffusion,
+    use_test_schedule: bool = True,
+    last: bool = True,
+) -> Callable:
+    """Returns ``sample(params, rng, x_input01) -> denoised [B,H,W,C]`` for a
+    FoundDiffDenoiser-based ResidualDiffusion.  Jit the returned callable."""
+
+    def sample(params, rng, x_input01):
+        x_norm = normalize_to_neg_one_to_one(x_input01)
+        dose, content = model.apply({"params": params}, x_norm, method="encode")
+
+        def bound_fn(p, x_in, time, x_self_cond=None):
+            return model.apply(
+                {"params": p},
+                x_in,
+                time,
+                x_self_cond,
+                dose_embedding=dose,
+                content_embedding=content,
+            )
+
+        d = copy.copy(diffusion)
+        d.model_fn = bound_fn
+        sch = d.test_schedule if use_test_schedule else d.train_schedule
+        sample_fn = d.ddim_sample if d.is_ddim_sampling else d.p_sample_loop
+        out = sample_fn(params, rng, x_norm, x_norm.shape, sch=sch, last=last)
+        return out[-1]
+
+    return sample

@@ -1,0 +1,381 @@
+"""PyTorch reference checkpoint -> Flax parameter converter.
+
+Maps the reference's serialized state dicts onto this framework's parameter
+pytrees:
+
+- ``model-<n>.pt`` trainer checkpoints: ``{'step', 'model', 'opt0'[, 'opt1'],
+  'ema', 'scaler'}`` where ``model`` is the ``ResidualDiffusion`` state dict
+  (reference src/DADiff.py:1626-1646); denoiser weights live under
+  ``model.unet{0,1}.*`` and the EMA copy under ``ema.ema_model.model.*``.
+- ``Dose-CLIP.pth``: the ``CLIPIQA`` state dict (frozen CLIP RN50 + prompt
+  learner + heads; reference src/DADiff.py:594-600).
+
+Layout rules (torch -> flax):
+- Linear ``weight [out, in]`` -> ``kernel [in, out]`` (transpose)
+- Conv2d ``weight [O, I/g, kh, kw]`` -> ``kernel [kh, kw, I/g, O]``
+- {Group,Layer}Norm ``weight``/``bias`` -> ``scale``/``bias``
+- BatchNorm ``weight, bias, running_mean, running_var`` ->
+  ``scale, bias, mean, var``
+- SS2D stacked projections keep their stacked layout
+  (``x_proj_weight [K, R+2N, D]``, ``dt_projs_weight [K, D, R]``,
+  reference src/emamba2.py:498-512); ``A_logs [K*D, N] -> [K, D, N]``,
+  ``Ds [K*D] -> [K, D]``.
+
+Schedule buffers (alphas, betas2_cumsum, ...) and the LPIPS tower are not
+converted — schedules are recomputed exactly (founddiff_tpu.diffusion) and
+LPIPS is an optional loss, not a weight consumer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import numpy as np
+
+TensorDict = Dict[str, np.ndarray]
+
+
+def _to_numpy_state(state: Mapping[str, Any]) -> TensorDict:
+    out = {}
+    for k, v in state.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        if isinstance(v, np.ndarray):
+            out[k] = v
+    return out
+
+
+def t_linear(w):  # [out, in] -> [in, out]
+    return np.ascontiguousarray(w.T)
+
+
+def t_conv(w):  # [O, I/g, kh, kw] -> [kh, kw, I/g, O]
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+class Converter:
+    """Accumulates flax-path -> array assignments from a torch state dict."""
+
+    def __init__(self, torch_state: TensorDict, prefix: str = ""):
+        self.src = torch_state
+        self.prefix = prefix
+        self.out: Dict[tuple, np.ndarray] = {}
+        self.missing: list = []
+        # fpath -> (full torch key, kind) for every requested tensor; lets
+        # tests synthesize a complete reference-shaped state dict
+        self.requests: Dict[str, tuple] = {}
+
+    def _req(self, fpath: str, tkey: str, kind: str):
+        self.requests[fpath] = (self.prefix + tkey, kind)
+
+    def has(self, tkey: str) -> bool:
+        return self.prefix + tkey in self.src
+
+    def get(self, tkey: str) -> Optional[np.ndarray]:
+        full = self.prefix + tkey
+        if full not in self.src:
+            self.missing.append(full)
+            return None
+        return self.src[full]
+
+    def put(self, fpath: str, value: Optional[np.ndarray]):
+        if value is not None:
+            self.out[tuple(fpath.split("/"))] = np.asarray(value)
+
+    # --- layer-family helpers ------------------------------------------
+
+    def linear(self, fpath: str, tkey: str, bias: bool = True):
+        self._req(fpath + "/kernel", tkey + ".weight", "linear")
+        w = self.get(tkey + ".weight")
+        if w is not None:
+            self.put(fpath + "/kernel", t_linear(w))
+        if bias:
+            self._req(fpath + "/bias", tkey + ".bias", "raw")
+            self.put(fpath + "/bias", self.get(tkey + ".bias"))
+
+    def conv(self, fpath: str, tkey: str, bias: bool = True):
+        self._req(fpath + "/kernel", tkey + ".weight", "conv")
+        w = self.get(tkey + ".weight")
+        if w is not None:
+            self.put(fpath + "/kernel", t_conv(w))
+        if bias:
+            self._req(fpath + "/bias", tkey + ".bias", "raw")
+            self.put(fpath + "/bias", self.get(tkey + ".bias"))
+
+    def norm(self, fpath: str, tkey: str):
+        self._req(fpath + "/scale", tkey + ".weight", "raw")
+        self._req(fpath + "/bias", tkey + ".bias", "raw")
+        self.put(fpath + "/scale", self.get(tkey + ".weight"))
+        self.put(fpath + "/bias", self.get(tkey + ".bias"))
+
+    def batchnorm(self, fpath: str, tkey: str):
+        self._req(fpath + "/scale", tkey + ".weight", "raw")
+        self._req(fpath + "/bias", tkey + ".bias", "raw")
+        self._req(fpath + "/mean", tkey + ".running_mean", "raw")
+        self._req(fpath + "/var", tkey + ".running_var", "raw")
+        self.put(fpath + "/scale", self.get(tkey + ".weight"))
+        self.put(fpath + "/bias", self.get(tkey + ".bias"))
+        self.put(fpath + "/mean", self.get(tkey + ".running_mean"))
+        self.put(fpath + "/var", self.get(tkey + ".running_var"))
+
+    def raw(self, fpath: str, tkey: str, transform=None):
+        self._req(fpath, tkey, "raw")
+        v = self.get(tkey)
+        if v is not None and transform is not None:
+            v = transform(v)
+        self.put(fpath, v)
+
+
+# ---------------------------------------------------------------------------
+# FoundDiff UNet (reference src/DADiff.py:530-836)
+# ---------------------------------------------------------------------------
+
+
+def convert_resnet_block(c: Converter, fpath: str, tkey: str):
+    c.conv(fpath + "/block1/proj", tkey + ".block1.proj")
+    c.norm(fpath + "/block1/norm", tkey + ".block1.norm")
+    # res_conv is Identity (no params) when dims match on both sides
+    c.conv(fpath + "/res_conv", tkey + ".res_conv")
+
+
+def convert_ss2d(c: Converter, fpath: str, tkey: str, d_state: int):
+    c.linear(fpath + "/in_proj", tkey + ".in_proj", bias=False)
+    c.conv(fpath + "/dwconv", tkey + ".conv2d")
+    c.raw(fpath + "/x_proj_weight", tkey + ".x_proj_weight")
+    c.raw(fpath + "/dt_projs_weight", tkey + ".dt_projs_weight")
+    c.raw(fpath + "/dt_projs_bias", tkey + ".dt_projs_bias")
+    c._req(fpath + "/A_logs", tkey + ".A_logs", "a_logs")
+    a = c.get(tkey + ".A_logs")
+    if a is not None:  # [K*D, N] -> [K, D, N]
+        K = 4
+        c.put(fpath + "/A_logs", a.reshape(K, -1, a.shape[-1]))
+    c._req(fpath + "/Ds", tkey + ".Ds", "ds")
+    d = c.get(tkey + ".Ds")
+    if d is not None:  # [K*D] -> [K, D]
+        c.put(fpath + "/Ds", d.reshape(4, -1))
+    c.norm(fpath + "/out_norm", tkey + ".out_norm")
+    c.linear(fpath + "/out_proj", tkey + ".out_proj", bias=False)
+    c.linear(fpath + "/cond_proj", tkey + ".attn.0", bias=False)
+
+
+def convert_mamba_block(c: Converter, fpath: str, tkey: str, d_state: int):
+    c.norm(fpath + "/norm1", tkey + ".norm1")
+    c.linear(fpath + "/adaLN", tkey + ".adaLN_modulation.1")
+    convert_ss2d(c, fpath + "/mamba", tkey + ".mamba", d_state)
+    # TransposedAttention (cross=False, the shipped config)
+    ab, tb = fpath + "/attn_blk", tkey + ".attn_blk"
+    c.raw(ab + "/temperature", tb + ".temperature")
+    c.conv(ab + "/qkv", tb + ".qkv", bias=False)
+    c.conv(ab + "/qkv_dwconv", tb + ".qkv_dwconv", bias=False)
+    c.conv(ab + "/project_out", tb + ".project_out", bias=False)
+
+
+def convert_unet(c: Converter, fpath: str, tkey: str, num_res: int = 4,
+                 base_d_state: int = 4, condition: bool = True):
+    c.conv(fpath + "/init_conv", tkey + ".init_conv")
+    c.linear(fpath + "/time_mlp_1", tkey + ".time_mlp.1")
+    c.linear(fpath + "/time_mlp_2", tkey + ".time_mlp.3")
+    if condition:
+        c.raw(fpath + "/prompt", tkey + ".prompt")
+        c.linear(fpath + "/text_mlp_1", tkey + ".text_mlp.0")
+        c.linear(fpath + "/text_mlp_2", tkey + ".text_mlp.2")
+        c.linear(fpath + "/prompt_mlp", tkey + ".prompt_mlp")
+
+    def d_state(level):
+        return base_d_state if level == 0 else base_d_state * 2**level
+
+    for i in range(num_res):
+        convert_mamba_block(
+            c, f"{fpath}/down_{i}_attn", f"{tkey}.downs.{i}.1", d_state(i)
+        )
+        convert_resnet_block(c, f"{fpath}/down_{i}_res", f"{tkey}.downs.{i}.0")
+        # Downsample module nests its conv under 'conv'; the last stage is a
+        # plain 3x3 conv (reference src/DADiff.py:636-639)
+        suffix = "/conv" if i < num_res - 1 else ""
+        c.conv(f"{fpath}/down_{i}_down{suffix}", f"{tkey}.downs.{i}.2")
+    convert_resnet_block(c, fpath + "/mid_block", tkey + ".mid_block")
+    convert_mamba_block(
+        c, fpath + "/mid_attn", tkey + ".mid_attn", d_state(num_res - 1)
+    )
+    for i in range(num_res):
+        level = num_res - 1 - i
+        convert_resnet_block(c, f"{fpath}/up_{i}_res", f"{tkey}.ups.{i}.0")
+        convert_mamba_block(
+            c, f"{fpath}/up_{i}_attn", f"{tkey}.ups.{i}.1", d_state(level)
+        )
+        if i < num_res - 1:
+            # Upsample = Sequential(nearest, conv) (reference src/DADiff.py:129)
+            c.conv(f"{fpath}/up_{i}_up/conv", f"{tkey}.ups.{i}.2.1")
+        else:
+            c.conv(f"{fpath}/up_{i}_up", f"{tkey}.ups.{i}.2")
+    convert_resnet_block(c, fpath + "/final_res_block", tkey + ".final_res_block")
+    c.conv(fpath + "/final_conv", tkey + ".final_conv")
+
+
+# ---------------------------------------------------------------------------
+# CLIP / Dose-CLIP (reference src/DACLIP.py)
+# ---------------------------------------------------------------------------
+
+
+def convert_bottleneck(c: Converter, fpath: str, tkey: str):
+    for i in (1, 2, 3):
+        c.conv(f"{fpath}/conv{i}", f"{tkey}.conv{i}", bias=False)
+        c.batchnorm(f"{fpath}/bn{i}", f"{tkey}.bn{i}")
+    if c.has(tkey + ".downsample.0.weight"):
+        c.conv(fpath + "/downsample_conv", tkey + ".downsample.0", bias=False)
+        c.batchnorm(fpath + "/downsample_bn", tkey + ".downsample.1")
+
+
+def convert_visual(c: Converter, fpath: str, tkey: str,
+                   layers=(3, 4, 6, 3)):
+    for i in (1, 2, 3):
+        c.conv(f"{fpath}/conv{i}", f"{tkey}.conv{i}", bias=False)
+        c.batchnorm(f"{fpath}/bn{i}", f"{tkey}.bn{i}")
+    for li, blocks in enumerate(layers, start=1):
+        for b in range(blocks):
+            convert_bottleneck(
+                c, f"{fpath}/layer{li}_{b}", f"{tkey}.layer{li}.{b}"
+            )
+    ap, tp = fpath + "/attnpool", tkey + ".attnpool"
+    c.raw(ap + "/positional_embedding", tp + ".positional_embedding")
+    for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        c.linear(f"{ap}/{proj}", f"{tp}.{proj}")
+
+
+def convert_text_transformer(c: Converter, fpath: str, tkey: str, layers=12):
+    for i in range(layers):
+        fb, tb = f"{fpath}/resblock_{i}", f"{tkey}.resblocks.{i}"
+        c.norm(fb + "/ln_1", tb + ".ln_1")
+        c.norm(fb + "/ln_2", tb + ".ln_2")
+        c._req(fb + "/attn_in_proj/kernel", tb + ".attn.in_proj_weight", "linear")
+        c._req(fb + "/attn_in_proj/bias", tb + ".attn.in_proj_bias", "raw")
+        w = c.get(tb + ".attn.in_proj_weight")
+        if w is not None:
+            c.put(fb + "/attn_in_proj/kernel", t_linear(w))
+        c.put(fb + "/attn_in_proj/bias", c.get(tb + ".attn.in_proj_bias"))
+        c.linear(fb + "/attn_out_proj", tb + ".attn.out_proj")
+        c.linear(fb + "/mlp_c_fc", tb + ".mlp.c_fc")
+        c.linear(fb + "/mlp_c_proj", tb + ".mlp.c_proj")
+
+
+def convert_clip(c: Converter, fpath: str, tkey: str):
+    convert_visual(c, fpath + "/visual", tkey + ".visual")
+    convert_text_transformer(c, fpath + "/transformer", tkey + ".transformer")
+    c.raw(fpath + "/token_embedding/embedding", tkey + ".token_embedding.weight")
+    c.raw(fpath + "/positional_embedding", tkey + ".positional_embedding")
+    c.norm(fpath + "/ln_final", tkey + ".ln_final")
+    c.raw(fpath + "/text_projection", tkey + ".text_projection")
+    c.raw(fpath + "/logit_scale", tkey + ".logit_scale")
+
+
+def convert_clipiqa(c: Converter, fpath: str, tkey_prefix: str = ""):
+    """Dose-CLIP: CLIPIQA state dict (reference src/DACLIP.py:1135-1221)."""
+    tk = (tkey_prefix + ".") if tkey_prefix else ""
+    convert_clip(c, fpath + "/clip_model", tk + "clip_model")
+    c.raw(fpath + "/prompt_learner/ctx", tk + "prompt_learner.ctx")
+    c.raw(fpath + "/prompt_learner/token_prefix",
+          tk + "prompt_learner.token_prefix")
+    c.raw(fpath + "/prompt_learner/token_suffix",
+          tk + "prompt_learner.token_suffix")
+    c.linear(fpath + "/head1_fc1", tk + "head1.0")
+    c.linear(fpath + "/head1_fc2", tk + "head1.2")
+    c.linear(fpath + "/head2_fc1", tk + "head2.0")
+    c.linear(fpath + "/head2_fc2", tk + "head2.2")
+
+
+# ---------------------------------------------------------------------------
+# Top-level entries
+# ---------------------------------------------------------------------------
+
+
+def _apply(params, assignments: Dict[tuple, np.ndarray], strict_shapes=True):
+    """Write assignments into a (nested dict) param tree copy."""
+
+    def set_path(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node[p]
+        old = node[path[-1]]
+        if strict_shapes and tuple(old.shape) != tuple(value.shape):
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: "
+                f"{old.shape} vs {value.shape}"
+            )
+        node[path[-1]] = value.astype(np.asarray(old).dtype)
+
+    tree = jax.tree_util.tree_map(np.asarray, params)
+
+    def deep(d):
+        return {k: deep(v) if isinstance(v, dict) else v for k, v in d.items()}
+
+    tree = deep(tree)
+    applied = 0
+    for path, value in assignments.items():
+        set_path(tree, path, value)
+        applied += 1
+    return tree, applied
+
+
+def convert_denoiser_params(
+    torch_state: TensorDict,
+    params_template,
+    num_unet: int = 1,
+    with_dose_encoder: bool = True,
+    torch_prefix: str = "model.",
+):
+    """Convert a ``ResidualDiffusion``/``UnetRes`` torch state dict into a
+    FoundDiffDenoiser/UnetRes param tree matching ``params_template``."""
+    c = Converter(torch_state, prefix=torch_prefix)
+    root = "model" if with_dose_encoder else ""
+    for u in range(num_unet):
+        fpath = f"{root}/unet{u}" if root else f"unet{u}"
+        convert_unet(c, fpath, f"unet{u}")
+    if with_dose_encoder:
+        # the tower lives inside unet0 in the reference
+        # (src/DADiff.py:588-600) but is shared at our composition level
+        convert_clipiqa(c, "dose_encoder", "unet0.dose_encoder")
+    tree, applied = _apply(params_template, c.out)
+    return tree, applied, c.missing
+
+
+def load_torch_file(path: str) -> Dict[str, Any]:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_reference_checkpoint(path: str, state, config):
+    """Load a reference ``model-<n>.pt`` into a TrainState: online params
+    from ``data['model']`` and EMA params from ``data['ema']['ema_model']``."""
+    import jax.numpy as jnp
+
+    data = load_torch_file(path)
+    model_sd = _to_numpy_state(data["model"])
+    num_unet = config.model.num_unet
+    with_tower = config.model.use_dose_encoder
+
+    params, n_applied, missing = convert_denoiser_params(
+        model_sd, state.params, num_unet=num_unet,
+        with_dose_encoder=with_tower, torch_prefix="model.",
+    )
+
+    ema_params = state.ema.params
+    if "ema" in data:
+        ema_sd = _to_numpy_state(data["ema"])
+        ema_params, _, _ = convert_denoiser_params(
+            ema_sd, state.ema.params, num_unet=num_unet,
+            with_dose_encoder=with_tower,
+            torch_prefix="ema_model.model.",
+        )
+
+    step = int(data.get("step", 0))
+    new_state = state.replace(
+        step=jnp.asarray(step, jnp.int32),
+        params=jax.tree_util.tree_map(jnp.asarray, params),
+        ema=state.ema.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, ema_params),
+            step=jnp.asarray(step, jnp.int32),
+        ),
+    )
+    return new_state
