@@ -79,8 +79,10 @@ def define_label(path: str) -> float:
 
 def _load_slice(path: str) -> np.ndarray:
     """Load a 2-D .npy slice as [1, H, W] float32 (the transform chains
-    operate on DHW arrays)."""
-    arr = np.load(path).astype(np.float32)
+    operate on DHW arrays).  Uses the native C++ reader when built."""
+    from founddiff_tpu.data import native
+
+    arr = native.read_npy(path)
     if arr.ndim == 2:
         arr = arr[None]
     return arr

@@ -1,0 +1,57 @@
+"""Native C++ .npy loader tests (skipped if the shared lib isn't built)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from founddiff_tpu.data import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="libfastloader.so not built"
+)
+
+
+@pytest.mark.parametrize(
+    "dtype", [np.float32, np.float64, np.int16, np.uint16, np.int32, np.int64]
+)
+def test_read_npy_dtypes(tmp_path, dtype):
+    arr = (np.random.RandomState(0).rand(7, 9) * 100).astype(dtype)
+    p = str(tmp_path / "a.npy")
+    np.save(p, arr)
+    out = native.read_npy(p)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, arr.astype(np.float32))
+
+
+def test_read_npy_3d(tmp_path):
+    arr = np.random.RandomState(1).rand(1, 16, 16).astype(np.float32)
+    p = str(tmp_path / "b.npy")
+    np.save(p, arr)
+    out = native.read_npy(p)
+    assert out.shape == (1, 16, 16)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_prefetch_pool(tmp_path):
+    rng = np.random.RandomState(2)
+    paths, arrays = [], []
+    for i in range(8):
+        a = rng.rand(16, 16).astype(np.float32)
+        p = str(tmp_path / f"s{i}.npy")
+        np.save(p, a)
+        paths.append(p)
+        arrays.append(a)
+    pool = native.PrefetchPool(num_threads=3)
+    outs = pool.load_many(paths)
+    for got, want in zip(outs, arrays):
+        np.testing.assert_array_equal(got, want)
+    pool.close()
+
+
+def test_missing_file_fallback(tmp_path):
+    pool = native.PrefetchPool(num_threads=1)
+    t = pool.submit(str(tmp_path / "nope.npy"))
+    with pytest.raises(IOError):
+        pool.wait(t)
+    pool.close()
