@@ -1,0 +1,111 @@
+"""FID machinery and generation-dataset tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from founddiff_tpu.data.generation import (
+    ImageFolderDataset,
+    data_transform,
+    inverse_data_transform,
+    logit_transform,
+    pad_to_multiple,
+)
+from founddiff_tpu.utils.fid import (
+    fid_from_features,
+    frechet_distance,
+    inception_score,
+)
+
+
+def test_frechet_distance_identical_is_zero():
+    rng = np.random.RandomState(0)
+    f = rng.randn(256, 16)
+    assert fid_from_features(f, f) < 1e-3
+
+
+def test_frechet_distance_mean_shift():
+    rng = np.random.RandomState(0)
+    f1 = rng.randn(512, 8)
+    f2 = f1 + 2.0
+    fid = fid_from_features(f1, f2)
+    # pure mean shift of 2 in 8 dims -> ||diff||^2 = 8*4 = 32
+    np.testing.assert_allclose(fid, 32.0, rtol=0.1)
+
+
+def test_frechet_distance_vs_scipy():
+    scipy_linalg = pytest.importorskip("scipy.linalg")
+    rng = np.random.RandomState(1)
+    f1 = rng.randn(300, 6)
+    f2 = rng.randn(300, 6) * 1.5 + 0.3
+    mu1, s1 = f1.mean(0), np.cov(f1, rowvar=False)
+    mu2, s2 = f2.mean(0), np.cov(f2, rowvar=False)
+    covmean = scipy_linalg.sqrtm(s1 @ s2).real
+    golden = ((mu1 - mu2) ** 2).sum() + np.trace(s1 + s2 - 2 * covmean)
+    got = float(frechet_distance(mu1, s1, mu2, s2))
+    np.testing.assert_allclose(got, golden, rtol=1e-3)
+
+
+def test_inception_score_uniform_vs_confident():
+    n, c = 100, 10
+    uniform = np.full((n, c), 1.0 / c)
+    is_u, _ = inception_score(uniform, splits=2)
+    np.testing.assert_allclose(is_u, 1.0, rtol=1e-5)
+    confident = np.eye(c)[np.arange(n) % c] * 0.99 + 0.001
+    confident /= confident.sum(axis=1, keepdims=True)
+    is_c, _ = inception_score(confident, splits=2)
+    assert is_c > 5.0
+
+
+def test_data_transform_roundtrip():
+    class Cfg:
+        uniform_dequantization = False
+        gaussian_dequantization = False
+        rescaled = True
+        logit_transform = False
+        image_mean = None
+
+    x = np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32)
+    y = data_transform(Cfg, x)
+    np.testing.assert_allclose(y, 2 * x - 1, rtol=1e-6)
+    back = inverse_data_transform(Cfg, y)
+    np.testing.assert_allclose(back, x, atol=1e-6)
+
+    Cfg.rescaled = False
+    Cfg.logit_transform = True
+    y = data_transform(Cfg, x * 0.8 + 0.1)
+    back = inverse_data_transform(Cfg, y)
+    np.testing.assert_allclose(back, x * 0.8 + 0.1, atol=1e-4)
+
+
+def test_pad_to_multiple():
+    arr = np.zeros((13, 21, 1), np.float32)
+    out, (ph, pw) = pad_to_multiple(arr, 8)
+    assert out.shape == (16, 24, 1)
+    assert (ph, pw) == (3, 3)
+
+
+def test_image_folder_dataset(tmp_path):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for sub in ["gt", "input"]:
+        os.makedirs(tmp_path / sub)
+        for i in range(3):
+            Image.fromarray(
+                (rng.rand(20, 20, 3) * 255).astype(np.uint8)
+            ).save(tmp_path / sub / f"{i}.png")
+
+    ds = ImageFolderDataset(str(tmp_path / "gt"), image_size=16, condition=0)
+    assert len(ds) == 3
+    img = ds[0]
+    assert img.shape[2] == 3 and img.max() <= 1.0
+
+    pair_ds = ImageFolderDataset(
+        [str(tmp_path / "gt"), str(tmp_path / "input")], image_size=16,
+        condition=1,
+    )
+    gt, inp = pair_ds[1]
+    assert gt.shape == inp.shape
