@@ -1,20 +1,23 @@
 """Pallas TPU kernel for the selective scan (Mamba S6 recurrence).
 
 TPU-native replacement for ``selective_scan_cuda.fwd`` (reference
-src/emamba2.py:124-179).  Design:
+src/emamba2.py:124-179).  Design (v2, time-vectorized):
 
-- The scan is sequential in L but fully vectorized over (batch*directions,
-  d_state, d_inner): the carried state ``h`` is a ``[G, N, D]`` fp32 VMEM
-  tile (G = B*K on the outer axis, N on sublanes, D on lanes; D is always a
-  multiple of 128 for the FoundDiff UNet widths 128/256/512/1024).
-- L is processed in chunks that ride the Pallas grid; the state persists in a
-  VMEM scratch buffer across sequential grid steps while input/output blocks
-  are double-buffered HBM<->VMEM by the Pallas pipeline.
-- ``delta_bias``/softplus are fused into the kernel (the CUDA kernel does the
-  same), so ``delta`` never round-trips through HBM in transformed form.
-- Chunk layouts are pre-transposed in XLA so that per-step reads are sublane
-  selects for [G, S, D] operands (u, delta) and lane selects for [G, N, S]
-  operands (B, C) — both cheap on the VPU.
+- Each grid step processes one L-chunk of S timesteps.  Within the chunk the
+  linear recurrence is computed with a **Hillis-Steele parallel scan over the
+  time axis**: all operands are full [N, S, D] VMEM tiles (N = d_state on the
+  outer axis, S timesteps on sublanes, D = d_inner on 128-wide lanes), so the
+  kernel issues only large static vector ops — no per-timestep dynamic
+  slicing, which dominates a naive sequential loop on TPU.
+- The carried state (one [G, N, D] tile, G = batch*4 directions) is folded
+  into the chunk result through the closed form
+  ``h_t = h_local_t + cumA_t * h_carry`` (the recurrence is linear in its
+  initial state), so chunks chain with O(1) extra work.
+- softplus(delta + bias) is fused in-kernel; inputs stream through the Pallas
+  pipeline double-buffered; B/C chunks arrive as [G, N, S] slabs
+  (contiguous S rows -> efficient DMA).
+- log2(S) scan levels trade ~4x elementwise work for full VPU occupancy; the
+  chunk length balances that against pipeline overheads.
 
 Backward: a custom VJP rematerializes through the chunked XLA implementation
 (:func:`founddiff_tpu.ops.selective_scan.selective_scan_chunked`), which is
@@ -32,14 +35,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 6 * 1024 * 1024  # conservative per-kernel VMEM target (bytes)
+_VMEM_BUDGET = 8 * 1024 * 1024  # conservative per-kernel VMEM target (bytes)
 
 
-def _pick_chunk(G: int, D: int, L: int) -> int:
-    """Chunk length S: 3 fp32 [G,S,D] buffers double-buffered under budget."""
-    per_step_bytes = 3 * G * D * 4 * 2
+def _pick_chunk(G: int, D: int, N: int, L: int) -> int:
+    """Chunk length S: the dominant VMEM residents are the [N, S, D] scan
+    work arrays (x2 for (a, b)) plus 3 double-buffered [G, S, D] blocks."""
+    per_step_bytes = (2 * N + 6 * G) * D * 4
     s = max(8, min(512, _VMEM_BUDGET // max(per_step_bytes, 1)))
-    # round down to a power of two for clean tiling
     p = 1
     while p * 2 <= s:
         p *= 2
@@ -48,44 +51,68 @@ def _pick_chunk(G: int, D: int, L: int) -> int:
 
 def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
                  hout_ref, h_ref, *, chunk: int, softplus: bool,
-                 seq_len: int, padded: bool):
-    """One grid step = one L-chunk.  Shapes:
-    u_ref, dl_ref, y_ref: [1, G, S, D]; b_ref, c_ref: [1, S, G, N] (step on a
-    non-tiled axis — Mosaic cannot dynamically slice the lane dim);
-    a_ref: [G, N, D]; d_ref, bias_ref: [G, D]; hout_ref: [G, N, D] (final
-    state output); h_ref (scratch): [G, N, D].  ``seq_len`` masks trailing
-    padded steps so the carried state is exactly the state at step L.
+                 seq_len: int, padded: bool, groups: int):
+    """One grid step = one L-chunk.
+
+    Shapes: u_ref, dl_ref, y_ref: [1, G, S, D]; b_ref, c_ref: [1, G, N, S];
+    a_ref: [G, N, D]; d_ref, bias_ref: [G, D]; hout_ref, h_ref: [G, N, D].
     """
+    S = chunk
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         h_ref[...] = jnp.zeros_like(h_ref)
 
-    a = a_ref[...]  # [G, N, D]
-    d_skip = d_ref[...]  # [G, D]
-    bias = bias_ref[...]  # [G, D]
-    base = pl.program_id(0) * chunk
+    base = pl.program_id(0) * S
+    # mask for trailing padded steps (delta'=0 -> identity transition)
+    if padded:
+        step_ids = base + jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        valid = (step_ids < seq_len).astype(jnp.float32)  # [S, 1]
 
-    def step(s, h):
-        u_s = u_ref[0, :, s, :]  # [G, D]
-        dl_s = dl_ref[0, :, s, :] + bias  # [G, D]
+    # iota over the time (sublane) axis for the scan masks, shared by levels
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+
+    for g in range(groups):
+        u = u_ref[0, g]  # [S, D]
+        dl = dl_ref[0, g] + bias_ref[g][None, :]  # [S, D]
         if softplus:
-            dl_s = jax.nn.softplus(dl_s)
+            dl = jax.nn.softplus(dl)
         if padded:
-            dl_s = jnp.where(base + s < seq_len, dl_s, 0.0)
-        b_s = b_ref[0, s][:, :, None]  # [G, N, 1]
-        c_s = c_ref[0, s][:, :, None]  # [G, N, 1]
+            dl = dl * valid
+        a_g = a_ref[g]  # [N, D]
+        bmat = b_ref[0, g][:, :, None]  # [N, S, 1]
+        cmat = c_ref[0, g][:, :, None]  # [N, S, 1]
 
-        abar = jnp.exp(dl_s[:, None, :] * a)  # [G, N, D]
-        x_s = (dl_s * u_s)[:, None, :]  # [G, 1, D]
-        h = abar * h + x_s * b_s  # [G, N, D]
-        y_s = jnp.sum(h * c_s, axis=1) + d_skip * u_s  # [G, D]
-        y_ref[0, :, s, :] = y_s
-        return h
+        # per-step transitions, vectorized over the whole chunk
+        abar = jnp.exp(dl[None, :, :] * a_g[:, None, :])  # [N, S, D]
+        bbar = (dl * u)[None, :, :] * bmat  # [N, S, D]
 
-    h = jax.lax.fori_loop(0, chunk, step, h_ref[...])
-    h_ref[...] = h
-    hout_ref[...] = h
+        # Hillis-Steele inclusive scan over the time axis (sublanes):
+        #   (a, b)_t <- combine((a, b)_{t-s}, (a, b)_t)
+        #             = (a_{t-s} * a_t, a_t * b_{t-s} + b_t)
+        a_sc, b_sc = abar, bbar
+        shift = 1
+        while shift < S:
+            a_sh = jnp.roll(a_sc, shift, axis=1)
+            b_sh = jnp.roll(b_sc, shift, axis=1)
+            m = t_idx >= shift
+            a_sh = jnp.where(m, a_sh, 1.0)
+            b_sh = jnp.where(m, b_sh, 0.0)
+            b_sc = a_sc * b_sh + b_sc
+            a_sc = a_sc * a_sh
+            shift *= 2
+
+        # fold the carried entry state: h_t = b_sc_t + cumA_t * h_in
+        h_in = h_ref[g]  # [N, D]
+        h_all = b_sc + a_sc * h_in[:, None, :]  # [N, S, D]
+
+        # outputs: y_t = sum_n C_t[n] * h_t[n] + D * u_t
+        y = jnp.sum(h_all * cmat, axis=0) + d_ref[g][None, :] * u  # [S, D]
+        y_ref[0, g] = y
+
+        h_last = h_all[:, S - 1, :]  # [N, D]
+        h_ref[g] = h_last
+        hout_ref[g] = h_last
 
 
 @functools.partial(jax.jit, static_argnames=("delta_softplus",))
@@ -98,7 +125,7 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
     N = A.shape[-1]
     G = B * K
 
-    S = _pick_chunk(G, D, L)
+    S = _pick_chunk(G, D, N, L)
     pad = (-L) % S
     Lp = L + pad
     C = Lp // S
@@ -112,17 +139,17 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
         x = x.reshape(G, C, S, -1).transpose(1, 0, 2, 3)
         return x.astype(f32)
 
-    def to_sgn(x):  # [B,K,L,N] -> [C, S, G, N]
+    def to_gns(x):  # [B,K,L,N] -> [C, G, N, S]
         x = x.reshape(G, L, -1)
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        x = x.reshape(G, C, S, -1).transpose(1, 2, 0, 3)
+        x = x.reshape(G, C, S, -1).transpose(1, 0, 3, 2)
         return x.astype(f32)
 
     u_c = to_gsd(u)
     dl_c = to_gsd(delta)
-    b_c = to_sgn(Bmat)
-    c_c = to_sgn(Cmat)
+    b_c = to_gns(Bmat)
+    c_c = to_gns(Cmat)
 
     a_g = jnp.broadcast_to(
         jnp.transpose(A.astype(f32), (0, 2, 1))[None], (B, K, N, D)
@@ -136,18 +163,21 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
         softplus=delta_softplus,
         seq_len=L,
         padded=bool(pad),
+        groups=G,
     )
 
     grid = (C,)
     chunk_spec_gsd = pl.BlockSpec(
         (1, G, S, D), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    chunk_spec_sgn = pl.BlockSpec(
-        (1, S, G, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    chunk_spec_gns = pl.BlockSpec(
+        (1, G, N, S), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
+
+    import math
 
     y, h_last = pl.pallas_call(
         kernel,
@@ -157,8 +187,8 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
         in_specs=[
             chunk_spec_gsd,  # u
             chunk_spec_gsd,  # delta
-            chunk_spec_sgn,  # B
-            chunk_spec_sgn,  # C
+            chunk_spec_gns,  # B
+            chunk_spec_gns,  # C
             full((G, N, D)),  # A
             full((G, D)),  # D skip
             full((G, D)),  # delta bias
@@ -170,7 +200,7 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
         ),
         scratch_shapes=[pltpu.VMEM((G, N, D), f32)],
         cost_estimate=pl.CostEstimate(
-            flops=9 * C * S * G * N * D,
+            flops=int((8 + 5 * math.log2(max(S, 2))) * C * S * G * N * D),
             bytes_accessed=(3 * C * G * S * D + 2 * C * G * N * S) * 4,
             transcendentals=C * S * G * N * D,
         ),

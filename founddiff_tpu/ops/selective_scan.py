@@ -193,6 +193,26 @@ def selective_scan(
     raise ValueError(f"unknown selective_scan impl {impl!r}")
 
 
+def flops_selective_scan(
+    B: int, L: int, D: int, N: int,
+    with_D: bool = True, with_Z: bool = False, with_group: bool = True,
+    with_complex: bool = False,
+) -> int:
+    """Static FLOP estimate of one selective scan
+    (reference ``flops_selective_scan_fn`` src/emamba2.py:38-110).
+
+    Recurrence: 9 * B*L*D*N flops (exp/mul/mul/fma per element plus the
+    C-contraction), + D skip, + optional z gating.
+    """
+    assert not with_complex
+    flops = 9 * B * L * D * N
+    if with_D:
+        flops += B * D * L
+    if with_Z:
+        flops += B * D * L
+    return flops
+
+
 # ---------------------------------------------------------------------------
 # EfficientScan / EfficientMerge (reference src/emamba2.py:182-292).
 #

@@ -103,6 +103,9 @@ class Trainer:
 
         self._train_step = jax.jit(self._step_fn, donate_argnums=(0,))
 
+    def _is_conditional(self) -> bool:
+        return getattr(self.diffusion, "condition", False)
+
     # ------------------------------------------------------------------
     # One optimization step (jitted).
     # ------------------------------------------------------------------
@@ -117,7 +120,12 @@ class Trainer:
         rngs = jax.random.split(jax.random.fold_in(rng, state.step), accum)
 
         def loss_fn(params, g, l, r):
-            losses = self.diffusion.loss(params, r, [g, l])
+            if self._is_conditional():
+                losses = self.diffusion.loss(params, r, [g, l])
+            else:
+                # generation path: train on the (single) image stream
+                # (reference src/DADiff.py:1691-1694)
+                losses = [self.diffusion.loss(params, r, g)]
             # per-unet losses averaged over accumulation
             # (reference src/DADiff.py:1700-1705)
             total = sum(losses) / accum
@@ -159,7 +167,11 @@ class Trainer:
     # Training loop (reference src/DADiff.py:1673-1763).
     # ------------------------------------------------------------------
 
-    def train(self, log_every: int = 50):
+    def train(self, log_every: int = 50, profile_dir: Optional[str] = None,
+              profile_steps: tuple = (10, 15)):
+        """Training loop.  ``profile_dir`` captures a ``jax.profiler`` trace
+        over ``profile_steps`` (the observability hook the reference lacks —
+        SURVEY.md §5 'Tracing/profiling: none')."""
         tcfg = self.config.train
         self.train_logger = get_logger(
             os.path.join(self.checkpoint_folder, "train.log")
@@ -167,6 +179,10 @@ class Trainer:
         self.rng, step_rng = jax.random.split(self.rng)
         t0 = time.time()
         while int(self.state.step) < tcfg.train_num_steps:
+            if profile_dir and int(self.state.step) == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and int(self.state.step) == profile_steps[1]:
+                jax.profiler.stop_trace()
             batch = next(self.dl)
             self.state, metrics = self._train_step(self.state, tuple(batch), step_rng)
             step = int(self.state.step)
@@ -235,16 +251,25 @@ class Trainer:
     def _sample_fn(self, use_test_schedule: bool):
         key = f"sample_{use_test_schedule}"
         if key not in self._jit_cache:
+            if self._is_conditional():
 
-            def fn(params, rng, x_input):
-                out = self.diffusion.sample(
-                    params,
-                    rng,
-                    x_input,
-                    last=True,
-                    use_test_schedule=use_test_schedule,
-                )
-                return out[-1]
+                def fn(params, rng, x_input):
+                    out = self.diffusion.sample(
+                        params,
+                        rng,
+                        x_input,
+                        last=True,
+                        use_test_schedule=use_test_schedule,
+                    )
+                    return out[-1]
+
+            else:
+
+                def fn(params, rng, x_input):
+                    del x_input
+                    return self.diffusion.sample(
+                        params, rng, batch_size=self.config.train.num_samples
+                    )
 
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
