@@ -57,8 +57,10 @@ class Trainer:
         train_dataset=None,
         sample_dataset=None,
         mesh=None,
+        model=None,
     ):
         self.diffusion = diffusion
+        self.model = model  # enables tower hoisting in sample/test
         self.config = config
         tcfg = config.train
         self.checkpoint_folder = tcfg.checkpoint_folder
@@ -251,7 +253,16 @@ class Trainer:
     def _sample_fn(self, use_test_schedule: bool):
         key = f"sample_{use_test_schedule}"
         if key not in self._jit_cache:
-            if self._is_conditional():
+            hoistable = self.model is not None and hasattr(self.model, "encode")
+            if self._is_conditional() and hoistable:
+                # frozen Dose-CLIP tower computed once per slice, not per step
+                from founddiff_tpu.pipeline import make_hoisted_sampler
+
+                fn = make_hoisted_sampler(
+                    self.model, self.diffusion,
+                    use_test_schedule=use_test_schedule,
+                )
+            elif self._is_conditional():
 
                 def fn(params, rng, x_input):
                     out = self.diffusion.sample(

@@ -13,6 +13,19 @@ from typing import Sequence
 import numpy as np
 
 
+def tensor2im(x: np.ndarray, imtype=np.uint8) -> np.ndarray:
+    """[-1,1] or [0,1] array -> HWC uint8 image (reference src/util.py:62-86
+    equivalent for NHWC arrays)."""
+    x = np.asarray(x, np.float32)
+    if x.ndim == 4:
+        x = x[0]
+    if x.min() < 0:  # [-1, 1] -> [0, 1]
+        x = (x + 1.0) / 2.0
+    if x.shape[-1] == 1:
+        x = np.repeat(x, 3, axis=-1)
+    return (np.clip(x, 0, 1) * 255.0).astype(imtype)
+
+
 def hu_preview_window(x: np.ndarray) -> np.ndarray:
     """[0,1]-normalized CT -> display window [-160, 240] HU -> [0,1]."""
     hu = np.clip(np.asarray(x) * 3000.0 - 1000.0, -160.0, 240.0)

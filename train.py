@@ -107,7 +107,7 @@ def main(argv=None):
             stride=cfg.data.stride,
         )
         trainer = Trainer(diffusion, params, cfg, train_dataset=train_ds,
-                          sample_dataset=test_ds)
+                          sample_dataset=test_ds, model=model)
         if opt.torch_checkpoint:
             trainer.load_torch(opt.torch_checkpoint)
         trainer.train()
@@ -130,7 +130,8 @@ def main(argv=None):
         )
         suffix = "test_final"
 
-    trainer = Trainer(diffusion, params, cfg, sample_dataset=test_ds)
+    trainer = Trainer(diffusion, params, cfg, sample_dataset=test_ds,
+                      model=model)
     if opt.torch_checkpoint:
         trainer.load_torch(opt.torch_checkpoint)
     else:
