@@ -46,7 +46,11 @@ def _pick_chunk(G: int, D: int, N: int, L: int) -> int:
     p = 1
     while p * 2 <= s:
         p *= 2
-    return min(p, max(8, L))
+    # S must stay a power of two (tiles divide it); shrink toward L to avoid
+    # padding waste on short sequences
+    while p // 2 >= L and p > 8:
+        p //= 2
+    return p
 
 
 def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
@@ -69,8 +73,12 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
         step_ids = base + jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
         valid = (step_ids < seq_len).astype(jnp.float32)  # [S, 1]
 
-    # iota over the time (sublane) axis for the scan masks, shared by levels
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+    # two-level scan: Hillis-Steele within TILE-step tiles (masks on the
+    # local index kill roll wraparound AND cross-tile leakage in one go),
+    # then a static-sliced sequential carry across tiles.
+    TILE = min(32, S)
+    ntiles = S // TILE
+    local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) % TILE
 
     for g in range(groups):
         u = u_ref[0, g]  # [S, D]
@@ -87,32 +95,35 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
         abar = jnp.exp(dl[None, :, :] * a_g[:, None, :])  # [N, S, D]
         bbar = (dl * u)[None, :, :] * bmat  # [N, S, D]
 
-        # Hillis-Steele inclusive scan over the time axis (sublanes):
+        # per-tile inclusive scans:
         #   (a, b)_t <- combine((a, b)_{t-s}, (a, b)_t)
         #             = (a_{t-s} * a_t, a_t * b_{t-s} + b_t)
         a_sc, b_sc = abar, bbar
         shift = 1
-        while shift < S:
+        while shift < TILE:
             a_sh = jnp.roll(a_sc, shift, axis=1)
             b_sh = jnp.roll(b_sc, shift, axis=1)
-            m = t_idx >= shift
+            m = local_idx >= shift
             a_sh = jnp.where(m, a_sh, 1.0)
             b_sh = jnp.where(m, b_sh, 0.0)
             b_sc = a_sc * b_sh + b_sc
             a_sc = a_sc * a_sh
             shift *= 2
 
-        # fold the carried entry state: h_t = b_sc_t + cumA_t * h_in
-        h_in = h_ref[g]  # [N, D]
-        h_all = b_sc + a_sc * h_in[:, None, :]  # [N, S, D]
+        # sequential carry across tiles (static slices), fusing the chunk
+        # entry state: h_t = b_sc_t + cumA_tile_t * carry
+        carry = h_ref[g]  # [N, D]
+        y_parts = []
+        for ti in range(ntiles):
+            sl = slice(ti * TILE, (ti + 1) * TILE)
+            h_tile = b_sc[:, sl, :] + a_sc[:, sl, :] * carry[:, None, :]
+            y_parts.append(jnp.sum(h_tile * cmat[:, sl, :], axis=0))
+            carry = h_tile[:, TILE - 1, :]
+        y = jnp.concatenate(y_parts, axis=0) if ntiles > 1 else y_parts[0]
+        y_ref[0, g] = y + d_ref[g][None, :] * u
 
-        # outputs: y_t = sum_n C_t[n] * h_t[n] + D * u_t
-        y = jnp.sum(h_all * cmat, axis=0) + d_ref[g][None, :] * u  # [S, D]
-        y_ref[0, g] = y
-
-        h_last = h_all[:, S - 1, :]  # [N, D]
-        h_ref[g] = h_last
-        hout_ref[g] = h_last
+        h_ref[g] = carry
+        hout_ref[g] = carry
 
 
 @functools.partial(jax.jit, static_argnames=("delta_softplus",))

@@ -23,6 +23,7 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from founddiff_tpu.config import Config
 from founddiff_tpu.data.loader import Loader, cycle
@@ -150,8 +151,6 @@ class Trainer:
         )
 
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        import optax
-
         params = optax.apply_updates(state.params, updates)
         ema = ema_update(
             state.ema,
