@@ -55,23 +55,22 @@ def _pick_chunk(G: int, D: int, N: int, L: int) -> int:
 
 def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
                  hout_ref, h_ref, *, chunk: int, softplus: bool,
-                 seq_len: int, padded: bool, groups: int):
-    """One grid step = one L-chunk.
+                 seq_len: int, padded: bool):
+    """One grid step = one (L-chunk, direction-group) cell; grid is (C, G)
+    with G innermost so each group's state streams through all its chunks.
 
-    Shapes: u_ref, dl_ref, y_ref: [1, G, S, D]; b_ref, c_ref: [1, G, N, S];
-    a_ref: [G, N, D]; d_ref, bias_ref: [G, D]; hout_ref, h_ref: [G, N, D].
+    Shapes: u_ref, dl_ref, y_ref: [1, S, D]; b_ref, c_ref: [1, S, N];
+    a_ref: [1, N, D]; d_ref, bias_ref: [1, 1, D]; hout_ref: [1, N, D];
+    h_ref (scratch): [G, N, D].
     """
     S = chunk
+    g = pl.program_id(1)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        h_ref[...] = jnp.zeros_like(h_ref)
+        h_ref[g] = jnp.zeros_like(h_ref[g])
 
     base = pl.program_id(0) * S
-    # mask for trailing padded steps (delta'=0 -> identity transition)
-    if padded:
-        step_ids = base + jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-        valid = (step_ids < seq_len).astype(jnp.float32)  # [S, 1]
 
     # two-level scan: Hillis-Steele within TILE-step tiles (masks on the
     # local index kill roll wraparound AND cross-tile leakage in one go),
@@ -80,50 +79,52 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
     ntiles = S // TILE
     local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) % TILE
 
-    for g in range(groups):
-        u = u_ref[0, g]  # [S, D]
-        dl = dl_ref[0, g] + bias_ref[g][None, :]  # [S, D]
-        if softplus:
-            dl = jax.nn.softplus(dl)
-        if padded:
-            dl = dl * valid
-        a_g = a_ref[g]  # [N, D]
-        bmat = b_ref[0, g][:, :, None]  # [N, S, 1]
-        cmat = c_ref[0, g][:, :, None]  # [N, S, 1]
+    u = u_ref[0]  # [S, D]
+    dl = dl_ref[0] + bias_ref[0]  # [S, D] (+ [1, D])
+    if softplus:
+        dl = jax.nn.softplus(dl)
+    if padded:
+        # trailing padded steps: delta'=0 -> identity transition
+        step_ids = base + jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        dl = dl * (step_ids < seq_len).astype(jnp.float32)
+    a_g = a_ref[0]  # [N, D]
+    # one small [S, N] -> [N, S] transpose per (chunk, group)
+    bmat = jnp.swapaxes(b_ref[0], 0, 1)[:, :, None]  # [N, S, 1]
+    cmat = jnp.swapaxes(c_ref[0], 0, 1)[:, :, None]  # [N, S, 1]
 
-        # per-step transitions, vectorized over the whole chunk
-        abar = jnp.exp(dl[None, :, :] * a_g[:, None, :])  # [N, S, D]
-        bbar = (dl * u)[None, :, :] * bmat  # [N, S, D]
+    # per-step transitions, vectorized over the whole chunk
+    abar = jnp.exp(dl[None, :, :] * a_g[:, None, :])  # [N, S, D]
+    bbar = (dl * u)[None, :, :] * bmat  # [N, S, D]
 
-        # per-tile inclusive scans:
-        #   (a, b)_t <- combine((a, b)_{t-s}, (a, b)_t)
-        #             = (a_{t-s} * a_t, a_t * b_{t-s} + b_t)
-        a_sc, b_sc = abar, bbar
-        shift = 1
-        while shift < TILE:
-            a_sh = jnp.roll(a_sc, shift, axis=1)
-            b_sh = jnp.roll(b_sc, shift, axis=1)
-            m = local_idx >= shift
-            a_sh = jnp.where(m, a_sh, 1.0)
-            b_sh = jnp.where(m, b_sh, 0.0)
-            b_sc = a_sc * b_sh + b_sc
-            a_sc = a_sc * a_sh
-            shift *= 2
+    # per-tile inclusive scans:
+    #   (a, b)_t <- combine((a, b)_{t-s}, (a, b)_t)
+    #             = (a_{t-s} * a_t, a_t * b_{t-s} + b_t)
+    a_sc, b_sc = abar, bbar
+    shift = 1
+    while shift < TILE:
+        a_sh = jnp.roll(a_sc, shift, axis=1)
+        b_sh = jnp.roll(b_sc, shift, axis=1)
+        m = local_idx >= shift
+        a_sh = jnp.where(m, a_sh, 1.0)
+        b_sh = jnp.where(m, b_sh, 0.0)
+        b_sc = a_sc * b_sh + b_sc
+        a_sc = a_sc * a_sh
+        shift *= 2
 
-        # sequential carry across tiles (static slices), fusing the chunk
-        # entry state: h_t = b_sc_t + cumA_tile_t * carry
-        carry = h_ref[g]  # [N, D]
-        y_parts = []
-        for ti in range(ntiles):
-            sl = slice(ti * TILE, (ti + 1) * TILE)
-            h_tile = b_sc[:, sl, :] + a_sc[:, sl, :] * carry[:, None, :]
-            y_parts.append(jnp.sum(h_tile * cmat[:, sl, :], axis=0))
-            carry = h_tile[:, TILE - 1, :]
-        y = jnp.concatenate(y_parts, axis=0) if ntiles > 1 else y_parts[0]
-        y_ref[0, g] = y + d_ref[g][None, :] * u
+    # sequential carry across tiles (static slices), fusing the chunk
+    # entry state: h_t = b_sc_t + cumA_tile_t * carry
+    carry = h_ref[g]  # [N, D]
+    y_parts = []
+    for ti in range(ntiles):
+        sl = slice(ti * TILE, (ti + 1) * TILE)
+        h_tile = b_sc[:, sl, :] + a_sc[:, sl, :] * carry[:, None, :]
+        y_parts.append(jnp.sum(h_tile * cmat[:, sl, :], axis=0))
+        carry = h_tile[:, TILE - 1, :]
+    y = jnp.concatenate(y_parts, axis=0) if ntiles > 1 else y_parts[0]
+    y_ref[0] = y + d_ref[0] * u
 
-        h_ref[g] = carry
-        hout_ref[g] = carry
+    h_ref[g] = carry
+    hout_ref[0] = carry
 
 
 @functools.partial(jax.jit, static_argnames=("delta_softplus",))
@@ -143,30 +144,24 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
 
     f32 = jnp.float32
 
-    def to_gsd(x):  # [B,K,L,D] -> [C, G, S, D]
-        x = x.reshape(G, L, -1)
+    def to_gld(x):  # [B,K,L,*] -> [G, Lp, *] (pad only; no transpose)
+        x = x.reshape(G, L, -1).astype(f32)
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        x = x.reshape(G, C, S, -1).transpose(1, 0, 2, 3)
-        return x.astype(f32)
+        return x
 
-    def to_gns(x):  # [B,K,L,N] -> [C, G, N, S]
-        x = x.reshape(G, L, -1)
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        x = x.reshape(G, C, S, -1).transpose(1, 0, 3, 2)
-        return x.astype(f32)
-
-    u_c = to_gsd(u)
-    dl_c = to_gsd(delta)
-    b_c = to_gns(Bmat)
-    c_c = to_gns(Cmat)
+    u_c = to_gld(u)
+    dl_c = to_gld(delta)
+    b_c = to_gld(Bmat)  # [G, Lp, N]
+    c_c = to_gld(Cmat)
 
     a_g = jnp.broadcast_to(
         jnp.transpose(A.astype(f32), (0, 2, 1))[None], (B, K, N, D)
     ).reshape(G, N, D)
-    d_g = jnp.broadcast_to(Dskip.astype(f32)[None], (B, K, D)).reshape(G, D)
-    bias_g = jnp.broadcast_to(delta_bias.astype(f32)[None], (B, K, D)).reshape(G, D)
+    d_g = jnp.broadcast_to(Dskip.astype(f32)[None], (B, K, D)).reshape(G, 1, D)
+    bias_g = jnp.broadcast_to(
+        delta_bias.astype(f32)[None], (B, K, D)
+    ).reshape(G, 1, D)
 
     kernel = functools.partial(
         _scan_kernel,
@@ -174,18 +169,18 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
         softplus=delta_softplus,
         seq_len=L,
         padded=bool(pad),
-        groups=G,
     )
 
-    grid = (C,)
-    chunk_spec_gsd = pl.BlockSpec(
-        (1, G, S, D), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    grid = (C, G)  # G innermost: per-group state streams through its chunks
+    spec_sd = pl.BlockSpec(
+        (1, S, D), lambda c, g: (g, c, 0), memory_space=pltpu.VMEM
     )
-    chunk_spec_gns = pl.BlockSpec(
-        (1, G, N, S), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    spec_sn = pl.BlockSpec(
+        (1, S, N), lambda c, g: (g, c, 0), memory_space=pltpu.VMEM
     )
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    per_g = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda c, g: (g,) + (0,) * len(dims),
+        memory_space=pltpu.VMEM,
     )
 
     import math
@@ -196,17 +191,17 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
         interpret=jax.default_backend() != "tpu",
         grid=grid,
         in_specs=[
-            chunk_spec_gsd,  # u
-            chunk_spec_gsd,  # delta
-            chunk_spec_gns,  # B
-            chunk_spec_gns,  # C
-            full((G, N, D)),  # A
-            full((G, D)),  # D skip
-            full((G, D)),  # delta bias
+            spec_sd,  # u
+            spec_sd,  # delta
+            spec_sn,  # B
+            spec_sn,  # C
+            per_g(N, D),  # A
+            per_g(1, D),  # D skip
+            per_g(1, D),  # delta bias
         ],
-        out_specs=(chunk_spec_gsd, full((G, N, D))),
+        out_specs=(spec_sd, per_g(N, D)),
         out_shape=(
-            jax.ShapeDtypeStruct((C, G, S, D), f32),
+            jax.ShapeDtypeStruct((G, Lp, D), f32),
             jax.ShapeDtypeStruct((G, N, D), f32),
         ),
         scratch_shapes=[pltpu.VMEM((G, N, D), f32)],
@@ -217,7 +212,7 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
         ),
     )(u_c, dl_c, b_c, c_c, a_g, d_g, bias_g)
 
-    y = y.transpose(1, 0, 2, 3).reshape(G, Lp, D)[:, :L]
+    y = y[:, :L]
     h_last = h_last.reshape(B, K, N, D).transpose(0, 1, 3, 2)  # [B,K,D,N]
     return y.reshape(B, K, L, D), h_last
 
