@@ -83,6 +83,8 @@ class ResidualDiffusion:
         self_condition: bool = False,
         clip_denoised: bool = True,
         convert_to_ddim: bool = True,
+        aux_grad_loss_weight: float = 0.0,
+        aux_wavelet_loss_weight: float = 0.0,
     ):
         self.model_fn = model_fn
         self.image_size = image_size
@@ -95,6 +97,11 @@ class ResidualDiffusion:
         self.self_condition = self_condition
         self.clip_denoised = clip_denoised
         self.loss_type = loss_type
+        # optional auxiliary losses (the reference carries Sobel/wavelet loss
+        # utilities, src/util.py:343-530, and a commented perceptual term,
+        # src/DADiff.py:1480; exposed here as weights, default off)
+        self.aux_grad_loss_weight = aux_grad_loss_weight
+        self.aux_wavelet_loss_weight = aux_wavelet_loss_weight
 
         if condition:
             self.sum_scale = sum_scale if sum_scale is not None else 0.01
@@ -481,7 +488,28 @@ class ResidualDiffusion:
         else:
             raise ValueError(f"unknown objective {self.objective!r}")
 
-        return [self._loss(model_out[i], target[i]) for i in range(len(model_out))]
+        losses = [
+            self._loss(model_out[i], target[i]) for i in range(len(model_out))
+        ]
+        if self.aux_grad_loss_weight > 0.0:
+            from founddiff_tpu.ops.losses import grad_loss
+
+            losses[0] = losses[0] + self.aux_grad_loss_weight * grad_loss(
+                model_out[0], target[0]
+            )
+        if self.aux_wavelet_loss_weight > 0.0:
+            from founddiff_tpu.ops.losses import wt_decomp
+
+            # compare high-frequency bands (NHWC: decompose the channel dim
+            # batch-wise on the spatial axes)
+            _, hi_pred = wt_decomp(
+                jnp.moveaxis(model_out[0], -1, 1), level=3
+            )
+            _, hi_tgt = wt_decomp(jnp.moveaxis(target[0], -1, 1), level=3)
+            losses[0] = losses[0] + self.aux_wavelet_loss_weight * jnp.mean(
+                jnp.abs(hi_pred - hi_tgt)
+            )
+        return losses
 
     def loss(self, params, rng: jax.Array, imgs):
         """Sample t, normalize inputs, return the per-unet loss list
