@@ -47,11 +47,29 @@ def main() -> None:
     cfg.diffusion.sampling_timesteps = steps
     diffusion, model, params = build(cfg)
 
-    sampler = jax.jit(make_hoisted_sampler(model, diffusion, use_test_schedule=True))
+    compute_dtype = None
+    if dtype == jnp.bfloat16:
+        # bf16 UNet trunk (frozen tower stays fp32 and is hoisted anyway);
+        # sampler schedule math stays fp32
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, t
+        )
+        if "model" in params:
+            params = dict(params, model=cast(params["model"]))
+        else:
+            params = cast(params)
+        compute_dtype = jnp.bfloat16
+
+    sampler = jax.jit(
+        make_hoisted_sampler(
+            model, diffusion, use_test_schedule=True,
+            compute_dtype=compute_dtype,
+        )
+    )
 
     rng = jax.random.PRNGKey(0)
     x = jnp.asarray(
-        np.random.RandomState(0).rand(batch, size, size, 1), dtype
+        np.random.RandomState(0).rand(batch, size, size, 1), jnp.float32
     )
 
     # warmup/compile

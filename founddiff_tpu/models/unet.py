@@ -118,7 +118,13 @@ class Unet(nn.Module):
             if content_embedding is None:
                 content_embedding = jnp.zeros((x.shape[0], 1, 256), x.dtype)
 
+        # keep the trunk in the activation dtype (time/conditioning paths
+        # compute in fp32; a silent upcast here would drag the whole UNet
+        # back to fp32 under a bf16 policy)
+        t = t.astype(x.dtype)
         c = content_embedding  # [B, 1, 256] (None when condition=False)
+        if c is not None:
+            c = c.astype(x.dtype)
 
         dims = [init_dim] + [dim * m for m in mults]
         in_out = list(zip(dims[:-1], dims[1:]))

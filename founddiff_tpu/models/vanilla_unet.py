@@ -87,6 +87,7 @@ class VanillaUnet(nn.Module):
         t = dense(time_dim, name="time_mlp_1")(emb)
         t = nn.gelu(t, approximate=False)
         t = dense(time_dim, name="time_mlp_2")(t)
+        t = t.astype(x.dtype)  # no fp32 leak into the trunk under bf16
 
         dims = [init_dim] + [dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))

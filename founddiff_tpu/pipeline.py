@@ -28,16 +28,24 @@ def make_hoisted_sampler(
     diffusion: ResidualDiffusion,
     use_test_schedule: bool = True,
     last: bool = True,
+    compute_dtype=None,
 ) -> Callable:
     """Returns ``sample(params, rng, x_input01) -> denoised [B,H,W,C]`` for a
-    FoundDiffDenoiser-based ResidualDiffusion.  Jit the returned callable."""
+    FoundDiffDenoiser-based ResidualDiffusion.  Jit the returned callable.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs the denoiser trunk in that
+    dtype (cast at the model boundary; the sampler's schedule math stays
+    fp32).  Pass bf16 *params* for the full effect.
+    """
 
     def sample(params, rng, x_input01):
         x_norm = normalize_to_neg_one_to_one(x_input01)
         dose, content = model.apply({"params": params}, x_norm, method="encode")
 
         def bound_fn(p, x_in, time, x_self_cond=None):
-            return model.apply(
+            if compute_dtype is not None:
+                x_in = x_in.astype(compute_dtype)
+            out = model.apply(
                 {"params": p},
                 x_in,
                 time,
@@ -45,6 +53,9 @@ def make_hoisted_sampler(
                 dose_embedding=dose,
                 content_embedding=content,
             )
+            if compute_dtype is not None:
+                out = [o.astype(jnp.float32) for o in out]
+            return out
 
         d = copy.copy(diffusion)
         d.model_fn = bound_fn
