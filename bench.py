@@ -15,7 +15,7 @@ slice at ~40 ms each => ~0.5 slices/sec).  The driver-supplied north star is
 >= 10x that estimate.
 
 Env overrides: BENCH_SIZE, BENCH_STEPS, BENCH_BATCH, BENCH_REPEATS,
-BENCH_DTYPE (float32|bfloat16).
+BENCH_DTYPE (bfloat16 default | float32 for the reference's precision).
 """
 
 from __future__ import annotations
@@ -36,7 +36,11 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", 50))
     batch = int(os.environ.get("BENCH_BATCH", 1))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16" else jnp.float32
+    dtype = (
+        jnp.float32
+        if os.environ.get("BENCH_DTYPE") == "float32"
+        else jnp.bfloat16
+    )
 
     from founddiff_tpu.config import Config
     from founddiff_tpu.factory import build
@@ -72,9 +76,10 @@ def main() -> None:
         np.random.RandomState(0).rand(batch, size, size, 1), jnp.float32
     )
 
-    # warmup/compile
+    # warmup/compile + sanity
     out = sampler(params, rng, x)
     jax.block_until_ready(out)
+    assert bool(jnp.all(jnp.isfinite(out))), "non-finite sampler output"
 
     t0 = time.perf_counter()
     for i in range(repeats):

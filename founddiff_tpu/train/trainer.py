@@ -103,6 +103,11 @@ class Trainer:
         self.rng = jax.random.PRNGKey(tcfg.seed)
         self.train_logger = None
         self._jit_cache: Dict[str, Any] = {}
+        from founddiff_tpu.utils.metrics_log import MetricsLogger
+
+        self.metrics = MetricsLogger(
+            os.path.join(self.checkpoint_folder, "metrics.jsonl")
+        )
 
         self._train_step = jax.jit(self._step_fn, donate_argnums=(0,))
 
@@ -197,6 +202,7 @@ class Trainer:
                     + " ".join(f"{k}: {v:.6f}" for k, v in m.items())
                     + f" ({rate:.2f} it/s)"
                 )
+                self.metrics.log({**m, "it_per_sec": rate}, step=step)
 
             if step != 0 and step % tcfg.save_and_sample_every == 0:
                 milestone = step // tcfg.save_and_sample_every
@@ -374,6 +380,10 @@ class Trainer:
             "ssim": float(np.mean(ssims)) if ssims else float("nan"),
             "rmse": float(np.mean(rmses)) if rmses else float("nan"),
         }
+        self.metrics.log(
+            {f"test_{k}": v for k, v in summary.items()},
+            step=int(self.state.step),
+        )
         logger.info(
             "test_psnr: {psnr:.4f}, test_ssim: {ssim:.4f}, test_rmse: {rmse:.4f}".format(
                 **summary
