@@ -65,3 +65,51 @@ def make_hoisted_sampler(
         return out[-1]
 
     return sample
+
+
+def make_volume_denoiser(
+    model,
+    diffusion: ResidualDiffusion,
+    mesh,
+    batch_per_device: int = 1,
+    compute_dtype=None,
+    use_test_schedule: bool = True,
+) -> Callable:
+    """Mesh-sharded full-volume CT denoising (BASELINE config 5).
+
+    Slices of a [Z, H, W, 1] volume are sharded over the mesh 'data' axis
+    (parameters replicated; XLA keeps everything on ICI), processed in
+    device-batched waves through the hoisted DDIM sampler.
+
+    Returns ``denoise(params, rng, volume01) -> denoised [Z, H, W, 1]``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+    wave = n_data * batch_per_device
+    sampler = make_hoisted_sampler(
+        model, diffusion, use_test_schedule=use_test_schedule,
+        compute_dtype=compute_dtype,
+    )
+    batch_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    jitted = jax.jit(
+        sampler,
+        in_shardings=(rep, rep, batch_sh),
+        out_shardings=batch_sh,
+    )
+
+    def denoise(params, rng, volume01):
+        z = volume01.shape[0]
+        pad = (-z) % wave
+        if pad:
+            volume01 = jnp.concatenate(
+                [volume01, jnp.repeat(volume01[-1:], pad, axis=0)], axis=0
+            )
+        outs = []
+        for start in range(0, z + pad, wave):
+            rng, srng = jax.random.split(rng)
+            outs.append(jitted(params, srng, volume01[start : start + wave]))
+        return jnp.concatenate(outs, axis=0)[:z]
+
+    return denoise
