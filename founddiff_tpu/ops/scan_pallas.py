@@ -42,13 +42,14 @@ def _pick_chunk(G: int, D: int, N: int, L: int) -> int:
     """Chunk length S: the dominant VMEM residents are the [N, S, D] scan
     work arrays (x2 for (a, b)) plus 3 double-buffered [G, S, D] blocks."""
     per_step_bytes = (2 * N + 6 * G) * D * 4
-    s = max(8, min(512, _VMEM_BUDGET // max(per_step_bytes, 1)))
+    # floor 16: bf16 blocks need sublane multiples of 16
+    s = max(16, min(512, _VMEM_BUDGET // max(per_step_bytes, 1)))
     p = 1
     while p * 2 <= s:
         p *= 2
     # S must stay a power of two (tiles divide it); shrink toward L to avoid
     # padding waste on short sequences
-    while p // 2 >= L and p > 8:
+    while p // 2 >= L and p > 16:
         p //= 2
     return p
 
@@ -79,8 +80,10 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
     ntiles = S // TILE
     local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) % TILE
 
-    u = u_ref[0]  # [S, D]
-    dl = dl_ref[0] + bias_ref[0]  # [S, D] (+ [1, D])
+    # IO rides in the caller's dtype (bf16 halves HBM traffic); the
+    # recurrence itself runs fp32
+    u = u_ref[0].astype(jnp.float32)  # [S, D]
+    dl = dl_ref[0].astype(jnp.float32) + bias_ref[0]  # [S, D] (+ [1, D])
     if softplus:
         dl = jax.nn.softplus(dl)
     if padded:
@@ -89,8 +92,8 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
         dl = dl * (step_ids < seq_len).astype(jnp.float32)
     a_g = a_ref[0]  # [N, D]
     # one small [S, N] -> [N, S] transpose per (chunk, group)
-    bmat = jnp.swapaxes(b_ref[0], 0, 1)[:, :, None]  # [N, S, 1]
-    cmat = jnp.swapaxes(c_ref[0], 0, 1)[:, :, None]  # [N, S, 1]
+    bmat = jnp.swapaxes(b_ref[0], 0, 1)[:, :, None].astype(jnp.float32)
+    cmat = jnp.swapaxes(c_ref[0], 0, 1)[:, :, None].astype(jnp.float32)
 
     # per-step transitions, vectorized over the whole chunk
     abar = jnp.exp(dl[None, :, :] * a_g[:, None, :])  # [N, S, D]
@@ -121,7 +124,7 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
         y_parts.append(jnp.sum(h_tile * cmat[:, sl, :], axis=0))
         carry = h_tile[:, TILE - 1, :]
     y = jnp.concatenate(y_parts, axis=0) if ntiles > 1 else y_parts[0]
-    y_ref[0] = y + d_ref[0] * u
+    y_ref[0] = (y + d_ref[0] * u).astype(y_ref.dtype)
 
     h_ref[g] = carry
     hout_ref[0] = carry
@@ -143,9 +146,12 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
     C = Lp // S
 
     f32 = jnp.float32
+    # IO dtype follows the inputs (bf16 halves the kernel's HBM traffic; the
+    # recurrence still runs fp32 in VMEM)
+    io_dtype = u.dtype
 
     def to_gld(x):  # [B,K,L,*] -> [G, Lp, *] (pad only; no transpose)
-        x = x.reshape(G, L, -1).astype(f32)
+        x = x.reshape(G, L, -1).astype(io_dtype)
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         return x
@@ -201,7 +207,7 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
         ],
         out_specs=(spec_sd, per_g(N, D)),
         out_shape=(
-            jax.ShapeDtypeStruct((G, Lp, D), f32),
+            jax.ShapeDtypeStruct((G, Lp, D), io_dtype),
             jax.ShapeDtypeStruct((G, N, D), f32),
         ),
         scratch_shapes=[pltpu.VMEM((G, N, D), f32)],
