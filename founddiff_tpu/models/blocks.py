@@ -308,19 +308,24 @@ class TransposedAttention(nn.Module):
         )(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def to_heads(u):  # [B,H,W,C] -> [B, heads, ch, L]
-            u = u.reshape(B, H * W, self.heads, ch)
-            return u.transpose(0, 2, 3, 1)
+        # contract the pixel axis directly from the [B, L, h, c] layout —
+        # reshapes only split the trailing dim (no big relayouts); the L2
+        # normalization over L folds into the attention matmul's scaling
+        def split_heads(u):  # [B,H,W,C] -> [B, L, heads, ch]
+            return u.reshape(B, H * W, self.heads, ch)
 
-        q, k, v = map(to_heads, (q, k, v))
-        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+        q, k, v = map(split_heads, (q, k, v))
+        # norms over L: [B, L, h, c] -> [B, h, c]
+        qn = jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=1), 1e-12)
+        kn = jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=1), 1e-12)
         attn = jnp.einsum(
-            "bhcl,bhdl->bhcd", q, k, preferred_element_type=jnp.float32
-        ) * temperature.astype(jnp.float32)
+            "blhc,blhd->bhcd", q, k, preferred_element_type=jnp.float32
+        )
+        attn = attn / (qn[..., None] * kn[:, :, None, :])
+        attn = attn * temperature.astype(jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhcd,bhdl->bhcl", attn, v)
-        out = out.transpose(0, 3, 1, 2).reshape(B, H, W, C)
+        out = jnp.einsum("bhcd,blhd->blhc", attn, v)
+        out = out.reshape(B, H, W, C)
         return conv2d(self.dim, 1, use_bias=self.use_bias, name="project_out")(out)
 
 
