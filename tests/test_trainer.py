@@ -135,3 +135,21 @@ def test_vanilla_path_builds(tmp_path):
     rng = jax.random.PRNGKey(0)
     loss = diffusion.loss(params, rng, jnp.zeros((2, 16, 16, 1)))
     assert np.isfinite(float(loss))
+
+
+def test_vanilla_trainer_step(tmp_path):
+    """Unconditional (generation) training path through the Trainer
+    (reference original_ddim_ddpm branch, train.py:59,85-95)."""
+    cfg = tiny_config(tmp_path)
+    cfg.model.original_ddim_ddpm = True
+    cfg.model.condition = False
+    diffusion, model, params = build(cfg)
+    ds = SyntheticPairs(n=8)
+    trainer = Trainer(diffusion, params, cfg, train_dataset=ds, sample_dataset=ds)
+    batch = next(trainer.dl)
+    trainer.state, metrics = trainer._train_step(
+        trainer.state, tuple(batch), trainer.rng
+    )
+    assert np.isfinite(float(metrics["loss_unet0"]))
+    img = trainer.sample(milestone=0)
+    assert np.asarray(img).shape[1:] == (16, 16, 1)
