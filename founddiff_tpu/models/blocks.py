@@ -361,11 +361,14 @@ class LinearAttention(nn.Module):
 
 class Attention(nn.Module):
     """Full softmax self-attention (reference src/DADiff.py:369-392), used by
-    the vanilla UNet path at low resolutions."""
+    the vanilla UNet path at low resolutions.  Long sequences route through
+    the Pallas flash-attention kernel (the TPU equivalent of the reference's
+    pinned flash-attn dependency, install.yaml:188)."""
 
     dim: int
     heads: int = 4
     dim_head: int = 32
+    use_flash: Optional[bool] = None  # None -> auto (L >= 1024)
 
     @nn.compact
     def __call__(self, x):
@@ -381,11 +384,22 @@ class Attention(nn.Module):
             )
 
         q, k, v = map(to_heads, (q, k, v))
-        sim = jnp.einsum(
-            "bhid,bhjd->bhij", q * scale, k, preferred_element_type=jnp.float32
+        use_flash = (
+            self.use_flash
+            if self.use_flash is not None
+            else (H * W >= 1024 and not self.is_initializing())
         )
-        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        if use_flash:
+            from founddiff_tpu.ops.attention_pallas import flash_attention
+
+            out = flash_attention(q, k, v, scale)
+        else:
+            sim = jnp.einsum(
+                "bhid,bhjd->bhij", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
+            attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, hidden)
         return conv2d(self.dim, 1, name="to_out")(out)
 
