@@ -81,6 +81,9 @@ class SS2D(nn.Module):
     step_size: int = 2
     context_dim: int = 256
     scan_impl: str = "auto"
+    # 'v2' = decimated EfficientScan (shipped config, src/emamba2.py:690-708);
+    # 'v0' = full 4-direction scan variant (src/emamba2.py:589-634)
+    forward_type: str = "v2"
 
     @nn.compact
     def __call__(self, x, c=None, deterministic: bool = True):
@@ -124,7 +127,12 @@ class SS2D(nn.Module):
 
     def _scan_core(self, x, H, W, d_inner, R, N, K):
         """cross_selective_scan (reference src/emamba2.py:295-367)."""
-        xs = efficient_scan(x, self.step_size)  # [B, K, L, D]
+        if self.forward_type == "v0":
+            from founddiff_tpu.ops.selective_scan import cross_scan_v0
+
+            xs = cross_scan_v0(x)  # [B, K, H*W, D]
+        else:
+            xs = efficient_scan(x, self.step_size)  # [B, K, L, D]
 
         x_proj_weight = self.param(
             "x_proj_weight",
@@ -159,8 +167,35 @@ class SS2D(nn.Module):
             delta_softplus=True,
             impl=self.scan_impl,
         )
-        y = efficient_merge(ys, H, W, self.step_size)
+        if self.forward_type == "v0":
+            from founddiff_tpu.ops.selective_scan import cross_merge_v0
+
+            y = cross_merge_v0(ys, H, W)
+        else:
+            y = efficient_merge(ys, H, W, self.step_size)
         return y.astype(x.dtype)
+
+
+class PatchMerging2D(nn.Module):
+    """VMamba downsampling: 2x2 neighborhood concat -> LayerNorm -> Linear
+    (reference src/emamba2.py:377-401)."""
+
+    dim: int
+    out_dim: int = -1
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        if H % 2 or W % 2:
+            x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        out = self.out_dim if self.out_dim > 0 else 2 * self.dim
+        return dense(out, use_bias=False, name="reduction")(x)
 
 
 class MambaBlock(nn.Module):

@@ -247,6 +247,32 @@ def efficient_scan(x: jnp.ndarray, step_size: int = 2) -> jnp.ndarray:
     return jnp.stack([flat(d0), flat(d1), flat(d2), flat(d3)], axis=1)
 
 
+def cross_scan_v0(x: jnp.ndarray) -> jnp.ndarray:
+    """Full (non-decimated) 4-direction scan layout
+    (reference ``forward_corev0`` src/emamba2.py:589-612): directions are
+    [row-major, column-major, reversed-row-major, reversed-column-major].
+    x: [B, H, W, C] -> [B, 4, H*W, C]."""
+    B, H, W, C = x.shape
+    rows = x.reshape(B, H * W, C)
+    cols = jnp.swapaxes(x, 1, 2).reshape(B, H * W, C)
+    return jnp.stack(
+        [rows, cols, rows[:, ::-1], cols[:, ::-1]], axis=1
+    )
+
+
+def cross_merge_v0(ys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Inverse-accumulate of :func:`cross_scan_v0`
+    (reference src/emamba2.py:625-630): un-flip/un-transpose each direction
+    and sum.  ys: [B, 4, H*W, C] -> [B, H, W, C]."""
+    B, K, L, C = ys.shape
+    rows = ys[:, 0] + ys[:, 2, ::-1]
+    cols = ys[:, 1] + ys[:, 3, ::-1]
+    out = rows.reshape(B, H, W, C) + jnp.swapaxes(
+        cols.reshape(B, W, H, C), 1, 2
+    )
+    return out
+
+
 def efficient_merge(
     ys: jnp.ndarray, ori_h: int, ori_w: int, step_size: int = 2
 ) -> jnp.ndarray:
