@@ -91,9 +91,10 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
         step_ids = base + jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
         dl = dl * (step_ids < seq_len).astype(jnp.float32)
     a_g = a_ref[0]  # [N, D]
-    # one small [S, N] -> [N, S] transpose per (chunk, group)
-    bmat = jnp.swapaxes(b_ref[0], 0, 1)[:, :, None].astype(jnp.float32)
-    cmat = jnp.swapaxes(c_ref[0], 0, 1)[:, :, None].astype(jnp.float32)
+    # one small [S, N] -> [N, S] transpose per (chunk, group); cast BEFORE
+    # inserting the minor dim (Mosaic only supports that for 32-bit types)
+    bmat = jnp.swapaxes(b_ref[0], 0, 1).astype(jnp.float32)[:, :, None]
+    cmat = jnp.swapaxes(c_ref[0], 0, 1).astype(jnp.float32)[:, :, None]
 
     # per-step transitions, vectorized over the whole chunk
     abar = jnp.exp(dl[None, :, :] * a_g[:, None, :])  # [N, S, D]
