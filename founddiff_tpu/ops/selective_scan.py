@@ -238,11 +238,15 @@ def efficient_scan(x: jnp.ndarray, step_size: int = 2) -> jnp.ndarray:
     pad_h, pad_w = (-H) % s, (-W) % s
     if pad_h or pad_w:
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-    xt = jnp.swapaxes(x, 1, 2)  # [B, W, H, C]
-    d0 = x[:, ::s, ::s, :]
-    d1 = xt[:, ::s, 1::s, :]
-    d2 = x[:, ::s, 1::s, :]
-    d3 = xt[:, 1::s, 1::s, :]
+        H, W = H + pad_h, W + pad_w
+    # decimate via reshape+static-slice (XLA lowers strided slicing of the
+    # original layout to index gathers, which dominated profiles); the
+    # column-major directions additionally transpose a quarter-size map
+    xr = x.reshape(B, H // s, s, W // s, s, C)
+    d0 = xr[:, :, 0, :, 0, :]  # (h even, w even) row-major
+    d2 = xr[:, :, 0, :, 1, :]  # (h even, w odd)  row-major
+    d1 = jnp.swapaxes(xr[:, :, 1, :, 0, :], 1, 2)  # (w even, h odd) col-major
+    d3 = jnp.swapaxes(xr[:, :, 1, :, 1, :], 1, 2)  # (w odd,  h odd) col-major
     flat = lambda d: d.reshape(B, -1, C)
     return jnp.stack([flat(d0), flat(d1), flat(d2), flat(d3)], axis=1)
 
