@@ -136,6 +136,29 @@ def dense(features, use_bias=True, name=None):
     return TorchDense(features, use_bias=use_bias, name=name)
 
 
+class LNorm(nn.Module):
+    """LayerNorm over the trailing axis backed by the fused Pallas kernel
+    (param layout identical to nn.LayerNorm: scale/bias)."""
+
+    features: int
+    eps: float = 1e-5
+    use_affine: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from founddiff_tpu.ops.norm_pallas import layer_norm
+
+        if self.use_affine:
+            scale = self.param(
+                "scale", nn.initializers.ones, (self.features,), jnp.float32
+            )
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            return layer_norm(x, scale, bias, self.eps)
+        return layer_norm(x, None, None, self.eps)
+
+
 class ChanLayerNorm(nn.Module):
     """Channel LayerNorm with biased variance and scale only
     (reference src/DADiff.py:157-166); NHWC -> normalize trailing axis."""

@@ -25,6 +25,7 @@ from flax import linen as nn
 
 from founddiff_tpu.models.blocks import (
     CrossAttention,
+    LNorm,
     TransposedAttention,
     dense,
     modulate,
@@ -117,7 +118,7 @@ class SS2D(nn.Module):
         xs = nn.silu(xs)
 
         y = self._scan_core(xs, H, W, d_inner, R, N, K)
-        y = nn.LayerNorm(epsilon=1e-5, name="out_norm")(y)
+        y = LNorm(d_inner, eps=1e-5, name="out_norm")(y)
 
         y = y * z
         if c is not None:
@@ -225,7 +226,7 @@ class MambaBlock(nn.Module):
             mod(nn.silu(t)), 6, axis=-1
         )
 
-        x1 = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x1 = LNorm(h, eps=1e-5, name="norm1")(x)
         x = x + gate_msa[:, None, None, :] * SS2D(
             d_model=h,
             d_state=self.d_state,
@@ -235,9 +236,7 @@ class MambaBlock(nn.Module):
             name="mamba",
         )(modulate(x1, shift_msa, scale_msa), c, deterministic=deterministic)
 
-        x2 = nn.LayerNorm(
-            epsilon=1e-6, use_bias=False, use_scale=False, name="norm2"
-        )(x)
+        x2 = LNorm(h, eps=1e-6, use_affine=False, name="norm2")(x)
         x2 = modulate(x2, shift_mlp, scale_mlp)
         if self.cross:
             attn_out = CrossAttention(query_dim=h, name="attn_blk")(

@@ -1,0 +1,108 @@
+"""Fused Pallas LayerNorm (channel-minor).
+
+Profiles of the 512^2 UNet show ~10 ms/forward in `convert_reduce` fusions —
+XLA's fp32-upcast norm statistics passes.  This kernel does the whole
+LayerNorm (fp32 stats, affine, cast back) in one HBM pass over row blocks.
+
+Backward remats through the XLA formulation (custom VJP), matching the
+framework's other kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln_kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float, has_affine: bool):
+    x = x_ref[0].astype(jnp.float32)  # [R, C]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    if has_affine:
+        y = y * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _ln_forward(x2d, scale, bias, eps):
+    R, C = x2d.shape
+    blk = max(256, min(2048, (2 * 1024 * 1024) // (C * 4)))
+    blk = min(blk, R)
+    pad = (-R) % blk
+    if pad:
+        x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+    Rp = R + pad
+    has_affine = scale is not None
+    g = (scale if has_affine else jnp.zeros((C,), x2d.dtype)).reshape(1, C)
+    b = (bias if has_affine else jnp.zeros((C,), x2d.dtype)).reshape(1, C)
+    kernel = functools.partial(_ln_kernel, eps=eps, has_affine=has_affine)
+    out = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        grid=(Rp // blk,),
+        in_specs=[
+            pl.BlockSpec((1, blk, C), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk, C), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Rp, C), x2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * Rp * C,
+            bytes_accessed=2 * Rp * C * x2d.dtype.itemsize,
+            transcendentals=Rp,
+        ),
+    )(x2d[None], g[None], b[None])
+    return out[0, :R]
+
+
+def _xla_layer_norm(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_ln(x2d, scale, bias, eps):
+    return _ln_forward(x2d, scale, bias, eps)
+
+
+def _fused_ln_fwd(x2d, scale, bias, eps):
+    return _ln_forward(x2d, scale, bias, eps), (x2d, scale, bias)
+
+
+def _fused_ln_bwd(eps, res, g):
+    x2d, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _xla_layer_norm(x_, s_, b_, eps), x2d, scale, bias
+    )
+    return vjp(g)
+
+
+_fused_ln.defvjp(_fused_ln_fwd, _fused_ln_bwd)
+
+
+def layer_norm(
+    x: jnp.ndarray,
+    scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """LayerNorm over the trailing axis of an N-D array, fused on TPU."""
+    shape = x.shape
+    x2d = x.reshape(-1, shape[-1])
+    out = _fused_ln(x2d, scale, bias, eps)
+    return out.reshape(shape)
