@@ -54,14 +54,105 @@ def _pick_chunk(G: int, D: int, N: int, L: int) -> int:
     return p
 
 
+def _chunk_inputs(u_ref, dl_ref, b_ref, c_ref, bias_ref, chunk_index, *,
+                  softplus, padded, seq_len, chunk):
+    """Shared fwd/bwd chunk preprocessing: returns (u, dl_raw, dl', bmat,
+    cmat) with dl' = masked softplus(delta + bias).  ``chunk_index`` is the
+    TRUE (global) chunk index — the backward visits chunks in reverse, so it
+    differs from program_id there."""
+    u = u_ref[0].astype(jnp.float32)  # [S, D]
+    dl_raw = dl_ref[0].astype(jnp.float32) + bias_ref[0]  # [S, D]
+    dl = jax.nn.softplus(dl_raw) if softplus else dl_raw
+    valid = None
+    if padded:
+        base = chunk_index * chunk
+        step_ids = base + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        valid = (step_ids < seq_len).astype(jnp.float32)
+        dl = dl * valid
+    # one small [S, N] -> [N, S] transpose per (chunk, group); cast BEFORE
+    # inserting the minor dim (Mosaic only supports that for 32-bit types)
+    bmat = jnp.swapaxes(b_ref[0], 0, 1).astype(jnp.float32)[:, :, None]
+    cmat = jnp.swapaxes(c_ref[0], 0, 1).astype(jnp.float32)[:, :, None]
+    return u, dl_raw, dl, valid, bmat, cmat
+
+
+def _tile_scan(a, b, TILE, local_idx):
+    """Hillis-Steele inclusive scans within TILE-step tiles; masks on the
+    local index kill roll wraparound AND cross-tile leakage in one go.
+      (a, b)_t <- combine((a, b)_{t-s}, (a, b)_t)
+                = (a_{t-s} * a_t, a_t * b_{t-s} + b_t)
+    """
+    shift = 1
+    while shift < TILE:
+        a_sh = jnp.roll(a, shift, axis=1)
+        b_sh = jnp.roll(b, shift, axis=1)
+        m = local_idx >= shift
+        a_sh = jnp.where(m, a_sh, 1.0)
+        b_sh = jnp.where(m, b_sh, 0.0)
+        b = a * b_sh + b
+        a = a * a_sh
+        shift *= 2
+    return a, b
+
+
+def _tile_scan_rev(w, q, TILE, local_idx):
+    """Suffix (right-to-left) Hillis-Steele within tiles for the adjoint
+    recurrence  gh_t = q_t + w_t * gh_{t+1}:
+      (w, q)_t <- (w_t * w_{t+s}, q_t + W_t * q_{t+s})
+    After the scan: q = reverse-inclusive values (zero state right of the
+    tile), w = cumulative products from t to the tile end."""
+    shift = 1
+    while shift < TILE:
+        w_sh = jnp.roll(w, -shift, axis=1)
+        q_sh = jnp.roll(q, -shift, axis=1)
+        m = local_idx < (TILE - shift)
+        w_sh = jnp.where(m, w_sh, 1.0)
+        q_sh = jnp.where(m, q_sh, 0.0)
+        q = q + w * q_sh
+        w = w * w_sh
+        shift *= 2
+    return w, q
+
+
+def _resolve_tiles_rev(w_sc, q_sc, TILE, ntiles):
+    """Chain reverse tile scans right-to-left:
+    gh_t = q_sc_t + w_sc_t * gh_{next tile first}."""
+    parts = [None] * ntiles
+    S = TILE * ntiles
+    carry = None
+    for ti in reversed(range(ntiles)):
+        sl = slice(ti * TILE, (ti + 1) * TILE)
+        if carry is None:
+            gh_tile = q_sc[:, sl, :]
+        else:
+            gh_tile = q_sc[:, sl, :] + w_sc[:, sl, :] * carry[:, None, :]
+        parts[ti] = gh_tile
+        carry = gh_tile[:, 0, :]
+    return jnp.concatenate(parts, axis=1) if ntiles > 1 else parts[0]
+
+
+def _resolve_tiles(a_sc, b_sc, carry, TILE, ntiles):
+    """Chain the per-tile scans with a sequential carry (static slices):
+    h_t = b_sc_t + cumA_tile_t * carry.  Returns ([N,S,D] states, carry)."""
+    parts = []
+    for ti in range(ntiles):
+        sl = slice(ti * TILE, (ti + 1) * TILE)
+        h_tile = b_sc[:, sl, :] + a_sc[:, sl, :] * carry[:, None, :]
+        parts.append(h_tile)
+        carry = h_tile[:, TILE - 1, :]
+    h_all = jnp.concatenate(parts, axis=1) if ntiles > 1 else parts[0]
+    return h_all, carry
+
+
 def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
-                 hout_ref, h_ref, *, chunk: int, softplus: bool,
+                 hout_ref, hb_ref, h_ref, *, chunk: int, softplus: bool,
                  seq_len: int, padded: bool):
     """One grid step = one (L-chunk, direction-group) cell; grid is (C, G)
     with G innermost so each group's state streams through all its chunks.
 
     Shapes: u_ref, dl_ref, y_ref: [1, S, D]; b_ref, c_ref: [1, S, N];
     a_ref: [1, N, D]; d_ref, bias_ref: [1, 1, D]; hout_ref: [1, N, D];
+    hb_ref (chunk-entry states, for the backward): [1, 1, N, D];
     h_ref (scratch): [G, N, D].
     """
     S = chunk
@@ -71,60 +162,26 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
     def _init():
         h_ref[g] = jnp.zeros_like(h_ref[g])
 
-    base = pl.program_id(0) * S
-
-    # two-level scan: Hillis-Steele within TILE-step tiles (masks on the
-    # local index kill roll wraparound AND cross-tile leakage in one go),
-    # then a static-sliced sequential carry across tiles.
     TILE = min(32, S)
     ntiles = S // TILE
     local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) % TILE
 
-    # IO rides in the caller's dtype (bf16 halves HBM traffic); the
-    # recurrence itself runs fp32
-    u = u_ref[0].astype(jnp.float32)  # [S, D]
-    dl = dl_ref[0].astype(jnp.float32) + bias_ref[0]  # [S, D] (+ [1, D])
-    if softplus:
-        dl = jax.nn.softplus(dl)
-    if padded:
-        # trailing padded steps: delta'=0 -> identity transition
-        step_ids = base + jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-        dl = dl * (step_ids < seq_len).astype(jnp.float32)
+    u, _, dl, _, bmat, cmat = _chunk_inputs(
+        u_ref, dl_ref, b_ref, c_ref, bias_ref, pl.program_id(0),
+        softplus=softplus, padded=padded, seq_len=seq_len, chunk=S,
+    )
     a_g = a_ref[0]  # [N, D]
-    # one small [S, N] -> [N, S] transpose per (chunk, group); cast BEFORE
-    # inserting the minor dim (Mosaic only supports that for 32-bit types)
-    bmat = jnp.swapaxes(b_ref[0], 0, 1).astype(jnp.float32)[:, :, None]
-    cmat = jnp.swapaxes(c_ref[0], 0, 1).astype(jnp.float32)[:, :, None]
 
     # per-step transitions, vectorized over the whole chunk
     abar = jnp.exp(dl[None, :, :] * a_g[:, None, :])  # [N, S, D]
     bbar = (dl * u)[None, :, :] * bmat  # [N, S, D]
 
-    # per-tile inclusive scans:
-    #   (a, b)_t <- combine((a, b)_{t-s}, (a, b)_t)
-    #             = (a_{t-s} * a_t, a_t * b_{t-s} + b_t)
-    a_sc, b_sc = abar, bbar
-    shift = 1
-    while shift < TILE:
-        a_sh = jnp.roll(a_sc, shift, axis=1)
-        b_sh = jnp.roll(b_sc, shift, axis=1)
-        m = local_idx >= shift
-        a_sh = jnp.where(m, a_sh, 1.0)
-        b_sh = jnp.where(m, b_sh, 0.0)
-        b_sc = a_sc * b_sh + b_sc
-        a_sc = a_sc * a_sh
-        shift *= 2
+    a_sc, b_sc = _tile_scan(abar, bbar, TILE, local_idx)
 
-    # sequential carry across tiles (static slices), fusing the chunk
-    # entry state: h_t = b_sc_t + cumA_tile_t * carry
-    carry = h_ref[g]  # [N, D]
-    y_parts = []
-    for ti in range(ntiles):
-        sl = slice(ti * TILE, (ti + 1) * TILE)
-        h_tile = b_sc[:, sl, :] + a_sc[:, sl, :] * carry[:, None, :]
-        y_parts.append(jnp.sum(h_tile * cmat[:, sl, :], axis=0))
-        carry = h_tile[:, TILE - 1, :]
-    y = jnp.concatenate(y_parts, axis=0) if ntiles > 1 else y_parts[0]
+    h_in = h_ref[g]  # [N, D] chunk-entry state
+    hb_ref[0, 0] = h_in
+    h_all, carry = _resolve_tiles(a_sc, b_sc, h_in, TILE, ntiles)
+    y = jnp.sum(h_all * cmat, axis=0)
     y_ref[0] = (y + d_ref[0] * u).astype(y_ref.dtype)
 
     h_ref[g] = carry
@@ -135,7 +192,8 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
 def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
     """u, delta: [B,K,L,D]; A: [K,D,N]; Bmat,Cmat: [B,K,L,N]; Dskip,bias: [K,D].
 
-    Returns (y: [B,K,L,D] fp32, h_last: [B,K,D,N] fp32).
+    Returns (y: [B,K,L,D] in u.dtype, h_last: [B,K,D,N] fp32,
+    h_bounds: [G, C, N, D] fp32 chunk-entry states for the backward).
     """
     B, K, L, D = u.shape
     N = A.shape[-1]
@@ -192,7 +250,11 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
 
     import math
 
-    y, h_last = pl.pallas_call(
+    hb_spec = pl.BlockSpec(
+        (1, 1, N, D), lambda c, g: (g, c, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    y, h_last, h_bounds = pl.pallas_call(
         kernel,
         # interpret off-TPU so the same kernel logic is exercised by CPU tests
         interpret=jax.default_backend() != "tpu",
@@ -206,10 +268,11 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
             per_g(1, D),  # D skip
             per_g(1, D),  # delta bias
         ],
-        out_specs=(spec_sd, per_g(N, D)),
+        out_specs=(spec_sd, per_g(N, D), hb_spec),
         out_shape=(
             jax.ShapeDtypeStruct((G, Lp, D), io_dtype),
             jax.ShapeDtypeStruct((G, N, D), f32),
+            jax.ShapeDtypeStruct((G, C, N, D), f32),
         ),
         scratch_shapes=[pltpu.VMEM((G, N, D), f32)],
         cost_estimate=pl.CostEstimate(
@@ -221,27 +284,237 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
 
     y = y[:, :L]
     h_last = h_last.reshape(B, K, N, D).transpose(0, 1, 3, 2)  # [B,K,D,N]
-    return y.reshape(B, K, L, D), h_last
+    return y.reshape(B, K, L, D), h_last, h_bounds
+
+
+def _scan_bwd_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref,
+                     hb_ref, dy_ref,
+                     gu_ref, gdl_ref, gb_ref, gc_ref, ga_ref, gd_ref,
+                     gbias_ref, ghz_ref,
+                     *, chunk: int, softplus: bool, seq_len: int,
+                     padded: bool):
+    """Backward grid cell (chunks visited in REVERSE via the index maps).
+
+    Recomputes the chunk's state trajectory from the saved entry state, runs
+    the adjoint recurrence  gh_t = C_t (x) dy_t + abar_{t+1} gh_{t+1}  as a
+    flipped tile-scan, and accumulates parameter gradients in revisited
+    output blocks (mirrors selective_scan_cuda.bwd, reference
+    src/emamba2.py:161-179, but with chunk recompute instead of saved x).
+
+    ghz_ref (scratch [G, N, D]): the carried  abar_first * gh_first  of the
+    later chunk.
+    """
+    S = chunk
+    g = pl.program_id(1)
+    crev = pl.program_id(0)
+    nchunks = pl.num_programs(0)
+
+    @pl.when(crev == 0)
+    def _init():
+        ghz_ref[g] = jnp.zeros_like(ghz_ref[g])
+
+    TILE = min(32, S)
+    ntiles = S // TILE
+    local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) % TILE
+
+    u, dl_raw, dl, valid, bmat, cmat = _chunk_inputs(
+        u_ref, dl_ref, b_ref, c_ref, bias_ref, nchunks - 1 - crev,
+        softplus=softplus, padded=padded, seq_len=seq_len, chunk=S,
+    )
+    a_g = a_ref[0]  # [N, D]
+    dy = dy_ref[0].astype(jnp.float32)  # [S, D]
+
+    abar = jnp.exp(dl[None, :, :] * a_g[:, None, :])  # [N, S, D]
+    bbar = (dl * u)[None, :, :] * bmat
+
+    # recompute the forward trajectory from the saved chunk-entry state
+    a_sc, b_sc = _tile_scan(abar, bbar, TILE, local_idx)
+    h_in = hb_ref[0, 0]  # [N, D]
+    h_all, _ = _resolve_tiles(a_sc, b_sc, h_in, TILE, ntiles)
+    h_prev = jnp.concatenate([h_in[:, None, :], h_all[:, : S - 1, :]], axis=1)
+
+    # adjoint recurrence as a suffix tile-scan (Mosaic has no `rev`):
+    #   gh_t = q_t + w_t gh_{t+1},  q_t = C_t (x) dy_t,  w_t = abar_{t+1}
+    # (the incoming chunk carry z = abar_first * gh_first of the LATER
+    # chunk folds into q at the last step, so w_{S-1} is never used)
+    q = cmat * dy[None, :, :]  # [N, S, D]
+    w = jnp.concatenate(
+        [abar[:, 1:, :], jnp.ones_like(abar[:, :1, :])], axis=1
+    )
+    q = jnp.concatenate(
+        [q[:, : S - 1, :], q[:, S - 1 :, :] + ghz_ref[g][:, None, :]], axis=1
+    )
+    w_sc, q_sc = _tile_scan_rev(w, q, TILE, local_idx)
+    gh = _resolve_tiles_rev(w_sc, q_sc, TILE, ntiles)  # [N, S, D]
+
+    # out-carry for the previous (earlier) chunk
+    ghz_ref[g] = abar[:, 0, :] * gh[:, 0, :]
+
+    # gradients
+    dlu = dl * u  # [S, D]
+    sB = jnp.sum(gh * bmat, axis=0)  # [S, D]
+    gu = d_ref[0] * dy + dl * sB
+    ghh = gh * h_prev  # [N, S, D]
+    gdlp = u * sB + jnp.sum(ghh * abar * a_g[:, None, :], axis=0)
+    if softplus:
+        gdelta = gdlp * jax.nn.sigmoid(dl_raw)
+    else:
+        gdelta = gdlp
+    if padded:
+        gdelta = gdelta * valid
+    gu_ref[0] = gu.astype(gu_ref.dtype)
+    gdl_ref[0] = gdelta.astype(gdl_ref.dtype)
+
+    # [N, S] -> [S, N] small transposes for the per-step B/C grads
+    gb = jnp.sum(gh * dlu[None, :, :], axis=2)  # [N, S]
+    gc = jnp.sum(h_all * dy[None, :, :], axis=2)  # [N, S]
+    gb_ref[0] = jnp.swapaxes(gb, 0, 1).astype(gb_ref.dtype)
+    gc_ref[0] = jnp.swapaxes(gc, 0, 1).astype(gc_ref.dtype)
+
+    # per-chunk partials (reduced over chunks outside the kernel — Mosaic
+    # does not preserve interleaved revisited output blocks)
+    ga_ref[0, 0] = jnp.sum(ghh * abar * dl[None, :, :], axis=1)  # [N, D]
+    gd_ref[0, 0] = jnp.sum(dy * u, axis=0, keepdims=True)  # [1, D]
+    gbias_ref[0, 0] = jnp.sum(gdelta, axis=0, keepdims=True)  # [1, D]
+
+
+@functools.partial(jax.jit, static_argnames=("delta_softplus",))
+def _pallas_bwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, h_bounds, dy,
+                delta_softplus):
+    """Pallas backward pass.  Returns cotangents for
+    (u, delta, A, Bmat, Cmat, Dskip, delta_bias)."""
+    B, K, L, D = u.shape
+    N = A.shape[-1]
+    G = B * K
+    S = _pick_chunk(G, D, N, L)
+    pad = (-L) % S
+    Lp = L + pad
+    C = Lp // S
+
+    f32 = jnp.float32
+    io_dtype = u.dtype
+
+    def to_gld(x):
+        x = x.reshape(G, L, -1).astype(io_dtype)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return x
+
+    u_c, dl_c = to_gld(u), to_gld(delta)
+    b_c, c_c = to_gld(Bmat), to_gld(Cmat)
+    dy_c = to_gld(dy)
+
+    a_g = jnp.broadcast_to(
+        jnp.transpose(A.astype(f32), (0, 2, 1))[None], (B, K, N, D)
+    ).reshape(G, N, D)
+    d_g = jnp.broadcast_to(Dskip.astype(f32)[None], (B, K, D)).reshape(G, 1, D)
+    bias_g = jnp.broadcast_to(
+        delta_bias.astype(f32)[None], (B, K, D)
+    ).reshape(G, 1, D)
+
+    kernel = functools.partial(
+        _scan_bwd_kernel,
+        chunk=S,
+        softplus=delta_softplus,
+        seq_len=L,
+        padded=bool(pad),
+    )
+
+    rev = lambda c: C - 1 - c
+    spec_sd = pl.BlockSpec(
+        (1, S, D), lambda c, g: (g, rev(c), 0), memory_space=pltpu.VMEM
+    )
+    spec_sn = pl.BlockSpec(
+        (1, S, N), lambda c, g: (g, rev(c), 0), memory_space=pltpu.VMEM
+    )
+    per_g = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda c, g: (g,) + (0,) * len(dims),
+        memory_space=pltpu.VMEM,
+    )
+    hb_spec = pl.BlockSpec(
+        (1, 1, N, D), lambda c, g: (g, rev(c), 0, 0), memory_space=pltpu.VMEM
+    )
+    per_cg = lambda *dims: pl.BlockSpec(
+        (1, 1) + dims, lambda c, g: (g, rev(c)) + (0,) * len(dims),
+        memory_space=pltpu.VMEM,
+    )
+
+    gu, gdl, gb, gc, ga, gd, gbias = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        grid=(C, G),
+        in_specs=[
+            spec_sd,  # u
+            spec_sd,  # delta
+            spec_sn,  # B
+            spec_sn,  # C
+            per_g(N, D),  # A
+            per_g(1, D),  # D skip
+            per_g(1, D),  # delta bias
+            hb_spec,  # chunk-entry states
+            spec_sd,  # dy
+        ],
+        out_specs=(
+            spec_sd,  # gu
+            spec_sd,  # gdelta
+            spec_sn,  # gB
+            spec_sn,  # gC
+            per_cg(N, D),  # gA per-chunk partials
+            per_cg(1, D),  # gD per-chunk partials
+            per_cg(1, D),  # gbias per-chunk partials
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Lp, D), io_dtype),
+            jax.ShapeDtypeStruct((G, Lp, D), io_dtype),
+            jax.ShapeDtypeStruct((G, Lp, N), io_dtype),
+            jax.ShapeDtypeStruct((G, Lp, N), io_dtype),
+            jax.ShapeDtypeStruct((G, C, N, D), f32),
+            jax.ShapeDtypeStruct((G, C, 1, D), f32),
+            jax.ShapeDtypeStruct((G, C, 1, D), f32),
+        ),
+        scratch_shapes=[pltpu.VMEM((G, N, D), f32)],
+    )(u_c, dl_c, b_c, c_c, a_g, d_g, bias_g, h_bounds, dy_c)
+
+    def from_gld(x, feat):
+        return x[:, :L].reshape(B, K, L, feat)
+
+    gu = from_gld(gu, D).astype(u.dtype)
+    gdl = from_gld(gdl, D).astype(delta.dtype)
+    gb = from_gld(gb, N).astype(Bmat.dtype)
+    gc = from_gld(gc, N).astype(Cmat.dtype)
+    # per-(b,k,chunk) partials -> parameter shapes (sum over batch and chunks)
+    ga = ga.sum(1).reshape(B, K, N, D).sum(0).transpose(0, 2, 1).astype(A.dtype)
+    gd = gd.sum(1).reshape(B, K, D).sum(0).astype(Dskip.dtype)
+    gbias = gbias.sum(1).reshape(B, K, D).sum(0).astype(delta_bias.dtype)
+    return gu, gdl, ga, gb, gc, gd, gbias
+
+
+_BWD_IMPL = "pallas"  # 'pallas' | 'xla' (chunked remat fallback)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _selective_scan_pallas(u, delta, A, Bmat, Cmat, Dskip, delta_bias,
                            delta_softplus):
-    y, _ = _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias,
-                       delta_softplus)
+    y, _, _ = _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias,
+                          delta_softplus)
     return y
 
 
 def _ss_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
-    y, _ = _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias,
-                       delta_softplus)
-    return y, (u, delta, A, Bmat, Cmat, Dskip, delta_bias)
+    y, _, h_bounds = _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias,
+                                 delta_softplus)
+    return y, (u, delta, A, Bmat, Cmat, Dskip, delta_bias, h_bounds)
 
 
 def _ss_bwd(delta_softplus, residuals, g):
-    from founddiff_tpu.ops.selective_scan import selective_scan_chunked
+    u, delta, A, Bmat, Cmat, Dskip, delta_bias, h_bounds = residuals
+    if _BWD_IMPL == "pallas":
+        return _pallas_bwd(
+            u, delta, A, Bmat, Cmat, Dskip, delta_bias, h_bounds, g,
+            delta_softplus,
+        )
 
-    u, delta, A, Bmat, Cmat, Dskip, delta_bias = residuals
+    from founddiff_tpu.ops.selective_scan import selective_scan_chunked
 
     def f(u_, delta_, A_, B_, C_, D_, bias_):
         return selective_scan_chunked(
@@ -270,9 +543,10 @@ def selective_scan_pallas(
         delta_bias = jnp.zeros((K, D), jnp.float32)
     if return_last_state:
         # fwd-only path (no VJP): used by sequence-sharded inference
-        return _pallas_fwd(
+        y, h_last, _ = _pallas_fwd(
             u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus
         )
+        return y, h_last
     return _selective_scan_pallas(
         u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus
     )

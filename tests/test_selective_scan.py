@@ -95,6 +95,30 @@ def test_pallas_gradients_match_ref():
         )
 
 
+def test_pallas_bwd_multichunk_padded():
+    """Pallas backward across many chunks with trailing padding (regression:
+    the reverse-visited chunk index must drive the padding mask)."""
+    import founddiff_tpu.ops.scan_pallas as sp
+
+    orig = sp._pick_chunk
+    sp._pick_chunk = lambda G, D, N, L: 16
+    try:
+        args = make_inputs(Bsz=2, K=4, L=75, D=8, N=4, seed=5)
+
+        def loss(fn):
+            return lambda *a: jnp.sum(jnp.tanh(fn(*a)))
+
+        gp = jax.grad(loss(sp.selective_scan_pallas),
+                      argnums=tuple(range(7)))(*args)
+        gr = jax.grad(loss(selective_scan_ref), argnums=tuple(range(7)))(*args)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            )
+    finally:
+        sp._pick_chunk = orig
+
+
 def test_chunked_gradients_match_ref():
     args = make_inputs(L=40, D=8, N=4)
 
