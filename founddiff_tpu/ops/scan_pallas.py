@@ -19,10 +19,12 @@ src/emamba2.py:124-179).  Design (v2, time-vectorized):
 - log2(S) scan levels trade ~4x elementwise work for full VPU occupancy; the
   chunk length balances that against pipeline overheads.
 
-Backward: a custom VJP rematerializes through the chunked XLA implementation
-(:func:`founddiff_tpu.ops.selective_scan.selective_scan_chunked`), which is
-work-efficient and memory-bounded.  (The CUDA reference saves intermediate
-states instead; a full Pallas backward is a planned optimization.)
+Backward: a full Pallas kernel (:func:`_pallas_bwd`): the forward saves only
+chunk-entry states; the backward revisits chunks in reverse, recomputes each
+trajectory, and runs the adjoint recurrence as a suffix tile-scan — ~5x
+faster than the XLA chunked-remat fallback (kept selectable via
+``_BWD_IMPL``).  The CUDA reference instead saves intermediate states for
+its bwd kernel (src/emamba2.py:161-179).
 """
 
 from __future__ import annotations
