@@ -37,7 +37,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 8 * 1024 * 1024  # conservative per-kernel VMEM target (bytes)
+# per-kernel VMEM target; v5e has far more VMEM than v4's 16MB, and larger
+# chunks halve the grid-cell overhead at the deep (large-N) UNet scales
+_VMEM_BUDGET = 16 * 1024 * 1024
 
 
 def _pick_chunk(G: int, D: int, N: int, L: int) -> int:
@@ -277,6 +279,9 @@ def _pallas_fwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, delta_softplus):
             jax.ShapeDtypeStruct((G, C, N, D), f32),
         ),
         scratch_shapes=[pltpu.VMEM((G, N, D), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=int((8 + 5 * math.log2(max(S, 2))) * C * S * G * N * D),
             bytes_accessed=(3 * C * G * S * D + 2 * C * G * N * S) * 4,
@@ -475,6 +480,9 @@ def _pallas_bwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, h_bounds, dy,
             jax.ShapeDtypeStruct((G, C, 1, D), f32),
         ),
         scratch_shapes=[pltpu.VMEM((G, N, D), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(u_c, dl_c, b_c, c_c, a_g, d_g, bias_g, h_bounds, dy_c)
 
     def from_gld(x, feat):
