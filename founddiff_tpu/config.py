@@ -45,6 +45,9 @@ class DiffusionConfig:
     loss_type: str = "l2"  # train.py:112
     sum_scale: float = 0.01  # train.py:71
     ddim_sampling_eta: float = 0.0
+    # 'use_pred_noise' (shipped) | 'use_x_start' (reference src/DADiff.py:
+    # 1343-1349 local-constant variant)
+    ddim_update: str = "use_pred_noise"
     convert_to_ddim: bool = True
     clip_denoised: bool = True
 

@@ -82,6 +82,7 @@ class ResidualDiffusion:
         test_res_or_noise: str = "None",
         self_condition: bool = False,
         clip_denoised: bool = True,
+        ddim_update: str = "use_pred_noise",
         convert_to_ddim: bool = True,
         aux_grad_loss_weight: float = 0.0,
         aux_wavelet_loss_weight: float = 0.0,
@@ -96,6 +97,11 @@ class ResidualDiffusion:
         self.test_res_or_noise = test_res_or_noise
         self.self_condition = self_condition
         self.clip_denoised = clip_denoised
+        # DDIM update rule: 'use_pred_noise' (shipped; despite the name it
+        # steps with pred_res) or 'use_x_start' (reference src/DADiff.py:
+        # 1343-1349, selected by a local constant there).
+        assert ddim_update in ("use_pred_noise", "use_x_start"), ddim_update
+        self.ddim_update = ddim_update
         self.loss_type = loss_type
         # optional auxiliary losses (the reference carries Sobel/wavelet loss
         # utilities, src/util.py:343-530, and a commented perceptual term,
@@ -297,18 +303,29 @@ class ResidualDiffusion:
         ts = jnp.arange(self.num_timesteps - 1, -1, -1, dtype=jnp.int32)
 
         def step(carry, t):
-            img, rng = carry
+            img, x_start_prev, rng = carry
             rng, noise_rng = jax.random.split(rng)
             bt = jnp.full((shape[0],), t, dtype=jnp.int32)
+            # previous step's x_start estimate feeds the next model call
+            # (reference src/DADiff.py:1249,1255-1257; first step uses the
+            # zeros the reference's None-default expands to).
+            self_cond = x_start_prev if self.self_condition else None
             model_mean, _, model_log_var, x_start = self.p_mean_variance(
-                params, sch, x_input, img, bt, x_input_condition
+                params, sch, x_input, img, bt, x_input_condition, self_cond
             )
             noise = jax.random.normal(noise_rng, shape, dtype=img.dtype)
             noise = jnp.where(t > 0, noise, 0.0)  # no noise at t == 0
             pred_img = model_mean + jnp.exp(0.5 * model_log_var) * noise
-            return (pred_img, rng), (pred_img if not last else None)
+            carry_sc = x_start if self.self_condition else x_start_prev
+            return (pred_img, carry_sc, rng), (pred_img if not last else None)
 
-        (img, _), imgs = jax.lax.scan(step, (img, rng), ts)
+        # scalar dummy when self-conditioning is off (keeps the carry small)
+        x_start0 = (
+            jnp.zeros(shape, dtype=img.dtype)
+            if self.self_condition
+            else jnp.zeros((), dtype=img.dtype)
+        )
+        (img, _, _), imgs = jax.lax.scan(step, (img, x_start0, rng), ts)
         return self._package_samples(img, imgs, input_add_noise, last)
 
     # ------------------------------------------------------------------
@@ -344,12 +361,15 @@ class ResidualDiffusion:
             input_add_noise = None
 
         def step(carry, tpair):
-            img, rng = carry
+            img, x_start_prev, rng = carry
             time, time_next = tpair
             rng, noise_rng = jax.random.split(rng)
             bt = jnp.full((shape[0],), time, dtype=jnp.int32)
+            # previous step's x_start estimate feeds the next model call
+            # (reference src/DADiff.py:1298,1309-1311).
+            self_cond = x_start_prev if self.self_condition else None
             preds = self.model_predictions(
-                params, sch, x_input, img, bt, x_input_condition
+                params, sch, x_input, img, bt, x_input_condition, self_cond
             )
             pred_res, x_start = preds.pred_res, preds.pred_x_start
 
@@ -369,13 +389,32 @@ class ResidualDiffusion:
                 noise_term = jnp.sqrt(sigma2) * jax.random.normal(
                     noise_rng, shape, dtype=img.dtype
                 )
-            # "use_pred_noise" update (reference src/DADiff.py:1343-1344).
-            img_next = img - alpha * pred_res + noise_term
+            if self.ddim_update == "use_x_start":
+                # reference src/DADiff.py:1345-1349
+                coef = jnp.sqrt(betas2_cumsum_next - sigma2) / sch.betas_cumsum[time]
+                img_next = (
+                    coef * img
+                    + (1.0 - coef) * x_start
+                    + (alpha_cumsum_next - alpha_cumsum * coef) * pred_res
+                    + noise_term
+                )
+            else:
+                # "use_pred_noise" update (reference src/DADiff.py:1343-1344).
+                img_next = img - alpha * pred_res + noise_term
             # Final step: return x_start (reference src/DADiff.py:1320-1324).
             img_next = jnp.where(time_next < 0, x_start, img_next)
-            return (img_next, rng), (img_next if not last else None)
+            carry_sc = x_start if self.self_condition else x_start_prev
+            return (img_next, carry_sc, rng), (img_next if not last else None)
 
-        (img, _), imgs = jax.lax.scan(step, (img, rng), (t_cur, t_next))
+        # scalar dummy when self-conditioning is off (keeps the carry small)
+        x_start0 = (
+            jnp.zeros(shape, dtype=img.dtype)
+            if self.self_condition
+            else jnp.zeros((), dtype=img.dtype)
+        )
+        (img, _, _), imgs = jax.lax.scan(
+            step, (img, x_start0, rng), (t_cur, t_next)
+        )
         return self._package_samples(img, imgs, input_add_noise, last)
 
     # ------------------------------------------------------------------

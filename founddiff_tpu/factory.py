@@ -66,12 +66,14 @@ def make_model_fn(model, original_ddim_ddpm: bool = False) -> Callable:
     if original_ddim_ddpm:
 
         def model_fn(params, x, t, x_self_cond=None):
-            return model.apply({"params": params}, x, t, x_self_cond)
+            return model.apply({"params": params}, x, t, x_self_cond=x_self_cond)
 
         return model_fn
 
+    # keyword-only: UnetRes' third positional is dose_embedding, not
+    # x_self_cond (founddiff_tpu/models/unet.py:240-247)
     def model_fn(params, x_in, time, x_self_cond=None):
-        return model.apply({"params": params}, x_in, time, x_self_cond)
+        return model.apply({"params": params}, x_in, time, x_self_cond=x_self_cond)
 
     return model_fn
 
@@ -110,6 +112,7 @@ def build(config: Config, rng: Optional[jax.Array] = None, init: bool = True):
             test_res_or_noise=m.test_res_or_noise,
             self_condition=m.self_condition,
             ddim_sampling_eta=d.ddim_sampling_eta,
+            ddim_update=d.ddim_update,
             convert_to_ddim=d.convert_to_ddim,
             clip_denoised=d.clip_denoised,
         )

@@ -49,7 +49,7 @@ def make_hoisted_sampler(
                 {"params": p},
                 x_in,
                 time,
-                x_self_cond,
+                x_self_cond=x_self_cond,
                 dose_embedding=dose,
                 content_embedding=content,
             )

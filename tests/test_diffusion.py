@@ -163,3 +163,115 @@ def test_gaussian_q_sample_snr():
     xt = proc.q_sample(x0, jnp.array([99]), noise)
     # at the last step, signal is heavily attenuated
     assert float(jnp.abs(xt).mean()) < 0.92
+
+
+def make_selfcond_process(self_condition, **kw):
+    # model whose output depends on x_self_cond so the sampler's threading of
+    # the previous x_start is observable (reference src/DADiff.py:1309-1311)
+    def model_fn(params, x_in, time_pair, x_self_cond):
+        del time_pair
+        base = jnp.full_like(x_in[..., :1], params["res"])
+        if x_self_cond is not None:
+            base = base + 0.3 * x_self_cond
+        return [base]
+
+    return ResidualDiffusion(
+        model_fn,
+        image_size=8,
+        channels=1,
+        timesteps=100,
+        sampling_timesteps=kw.pop("sampling_timesteps", 4),
+        objective="pred_res",
+        loss_type="l2",
+        condition=True,
+        sum_scale=0.01,
+        test_res_or_noise="res",
+        self_condition=self_condition,
+        **kw,
+    )
+
+
+def test_ddim_self_conditioning_changes_samples():
+    """With self_condition=True the sampler must feed the previous step's
+    x_start into the model (reference src/DADiff.py:1298,1309-1311), so a
+    model that reads x_self_cond samples differently from the unconditioned
+    path after the first step."""
+    rng = jax.random.PRNGKey(7)
+    x_input = jnp.full((1, 8, 8, 1), 0.7)
+    out_sc = make_selfcond_process(True).sample(
+        {"res": 0.2}, rng, x_input, last=True
+    )[1]
+    out_no = make_selfcond_process(False).sample(
+        {"res": 0.2}, rng, x_input, last=True
+    )[1]
+    assert not np.allclose(np.asarray(out_sc), np.asarray(out_no), atol=1e-6)
+
+
+def test_ddim_self_conditioning_first_step_zeros():
+    """The first model call sees zeros (the reference's None default expands
+    to zeros, src/DADiff.py:687-688), so a single-step DDIM run matches the
+    unconditioned path exactly."""
+    rng = jax.random.PRNGKey(7)
+    x_input = jnp.full((1, 8, 8, 1), 0.7)
+    one_sc = make_selfcond_process(True, sampling_timesteps=1).sample(
+        {"res": 0.2}, rng, x_input, last=True
+    )[1]
+    one_no = make_selfcond_process(False, sampling_timesteps=1).sample(
+        {"res": 0.2}, rng, x_input, last=True
+    )[1]
+    np.testing.assert_allclose(np.asarray(one_sc), np.asarray(one_no), atol=1e-6)
+
+
+def test_ddpm_self_conditioning_changes_samples():
+    rng = jax.random.PRNGKey(3)
+    x_input = jnp.full((1, 8, 8, 1), 0.7)
+    out_sc = make_selfcond_process(True, sampling_timesteps=100).sample(
+        {"res": 0.2}, rng, x_input, last=True
+    )[1]
+    out_no = make_selfcond_process(False, sampling_timesteps=100).sample(
+        {"res": 0.2}, rng, x_input, last=True
+    )[1]
+    assert np.all(np.isfinite(np.asarray(out_sc)))
+    assert not np.allclose(np.asarray(out_sc), np.asarray(out_no), atol=1e-6)
+
+
+def test_self_conditioned_training_loss():
+    """p_losses runs the extra stop-gradient prediction pass 50% of the time
+    (reference src/DADiff.py:1422-1432) and stays finite/consistent."""
+    proc = make_selfcond_process(True)
+    gt = jnp.full((4, 8, 8, 1), 0.5)
+    inp = gt + 0.1
+    losses = proc.loss({"res": 0.2}, jax.random.PRNGKey(0), [gt, inp])
+    assert len(losses) == 1 and np.isfinite(float(losses[0]))
+    # gradients flow (through the main call, not the detached estimate)
+    g = jax.grad(lambda p: proc.loss(p, jax.random.PRNGKey(0), [gt, inp])[0])(
+        {"res": 0.2}
+    )
+    assert np.isfinite(float(g["res"]))
+
+
+def test_ddim_use_x_start_variant_matches_reference_formula():
+    """'use_x_start' update (reference src/DADiff.py:1345-1349):
+    img' = c*img + (1-c)*x0 + (acs_next - acs*c)*res, c = sqrt(b2cs_next)/bcs.
+    Verified in closed form with a constant-residual model."""
+    proc = make_process(sampling_timesteps=2, ddim_update="use_x_start")
+    params = {"res": 0.2}
+    rng = jax.random.PRNGKey(5)
+    x_input01 = jnp.full((1, 8, 8, 1), 0.7)
+    outs = proc.sample(params, rng, x_input01, last=False)
+    # outs = [input_add_noise, img1, img2] (all unnormalized to [0,1])
+    img0 = np.asarray(outs[0]) * 2 - 1
+    img1 = np.asarray(outs[1]) * 2 - 1
+
+    sch = proc.train_schedule
+    t, tn = 99, 49  # ddim_time_pairs(100, 2) -> [(99, 49), (49, -1)]
+    x_input = np.full_like(img0, 0.4)  # normalized
+    pred_res = 0.2
+    x_start = np.clip(x_input - pred_res, -1, 1)
+    acs = float(sch.alphas_cumsum[t])
+    acs_n = float(sch.alphas_cumsum[tn])
+    b2cs_n = float(sch.betas2_cumsum[tn])
+    bcs = float(sch.betas_cumsum[t])
+    c = np.sqrt(b2cs_n) / bcs  # eta = 0 -> sigma2 = 0
+    expected = c * img0 + (1 - c) * x_start + (acs_n - acs * c) * pred_res
+    np.testing.assert_allclose(img1, expected, rtol=1e-4, atol=1e-5)
