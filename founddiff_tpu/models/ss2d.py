@@ -150,24 +150,38 @@ class SS2D(nn.Module):
         A_logs = self.param("A_logs", _a_log_init, (K, d_inner, N), jnp.float32)
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner), jnp.float32)
 
-        x_dbl = jnp.einsum(
-            "bkld,kcd->bklc", xs, x_proj_weight.astype(xs.dtype)
-        )
-        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
-        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_projs_weight.astype(xs.dtype))
-
         As = -jnp.exp(A_logs)
-        ys = selective_scan(
-            xs,
-            dts,
-            As,
-            Bs,
-            Cs,
-            Ds,
-            delta_bias=dt_projs_bias,
-            delta_softplus=True,
-            impl=self.scan_impl,
-        )
+        impl = self.scan_impl
+        if impl == "auto":
+            impl = "pallas_fused" if jax.default_backend() == "tpu" else "chunked"
+        if impl == "pallas_fused":
+            # fused kernel: the x_dbl/dt projections run inside the scan so
+            # delta/B/C never round-trip HBM
+            from founddiff_tpu.ops.scan_pallas import selective_scan_pallas_fused
+
+            ys = selective_scan_pallas_fused(
+                xs, x_proj_weight, dt_projs_weight, As, Ds, dt_projs_bias,
+                dt_rank=R, d_state=N, delta_softplus=True,
+            )
+        else:
+            x_dbl = jnp.einsum(
+                "bkld,kcd->bklc", xs, x_proj_weight.astype(xs.dtype)
+            )
+            dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+            dts = jnp.einsum(
+                "bklr,kdr->bkld", dts, dt_projs_weight.astype(xs.dtype)
+            )
+            ys = selective_scan(
+                xs,
+                dts,
+                As,
+                Bs,
+                Cs,
+                Ds,
+                delta_bias=dt_projs_bias,
+                delta_softplus=True,
+                impl=impl,
+            )
         if self.forward_type == "v0":
             from founddiff_tpu.ops.selective_scan import cross_merge_v0
 

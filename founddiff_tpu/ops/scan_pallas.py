@@ -44,10 +44,11 @@ _VMEM_BUDGET = 16 * 1024 * 1024
 
 def _pick_chunk(G: int, D: int, N: int, L: int) -> int:
     """Chunk length S: the dominant VMEM residents are the [N, S, D] scan
-    work arrays (x2 for (a, b)) plus 3 double-buffered [G, S, D] blocks."""
-    per_step_bytes = (2 * N + 6 * G) * D * 4
-    # floor 16: bf16 blocks need sublane multiples of 16
-    s = max(16, min(512, _VMEM_BUDGET // max(per_step_bytes, 1)))
+    work arrays (~4 fp32 copies live through the tile scan) plus the
+    double-buffered [1, S, D] / [1, S, N] io blocks (6 inputs+outputs x2
+    buffers).  The [G, N, D] state scratch is chunk-independent and small."""
+    per_step_bytes = (4 * N + 12) * D * 4 + 4 * N * 4
+    s = max(16, min(1024, _VMEM_BUDGET // max(per_step_bytes, 1)))
     p = 1
     while p * 2 <= s:
         p *= 2
@@ -497,6 +498,232 @@ def _pallas_bwd(u, delta, A, Bmat, Cmat, Dskip, delta_bias, h_bounds, dy,
     gd = gd.sum(1).reshape(B, K, D).sum(0).astype(Dskip.dtype)
     gbias = gbias.sum(1).reshape(B, K, D).sum(0).astype(delta_bias.dtype)
     return gu, gdl, ga, gb, gc, gd, gbias
+
+
+# ---------------------------------------------------------------------------
+# Fused-projection forward: the SS2D x_dbl / dt projections run INSIDE the
+# scan kernel as per-chunk MXU matmuls, so delta/B/C never exist in HBM
+# (the reference materializes all of them around selective_scan_cuda,
+# src/emamba2.py:335-357).  The dt low-rank factorization is pre-folded into
+# one [D, D] matrix outside (delta = (x Wx_dt) Wdt == x (Wx_dt Wdt)), which
+# keeps every in-kernel slice lane-aligned.
+# ---------------------------------------------------------------------------
+
+
+def _scan_kernel_fused(x_ref, wd_ref, wb_ref, wc_ref, a_ref, d_ref, bias_ref,
+                       y_ref, hout_ref, hb_ref, h_ref, *, chunk: int,
+                       softplus: bool, seq_len: int, padded: bool):
+    """Grid cell like :func:`_scan_kernel` but with in-kernel projections.
+
+    x_ref: [1, S, D] (post-conv activations = scan input u);
+    wd_ref: [1, D, D] folded delta weight; wb_ref, wc_ref: [1, D, N];
+    a_ref: [1, N, D]; d_ref, bias_ref: [1, 1, D].
+    """
+    S = chunk
+    g = pl.program_id(1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        h_ref[g] = jnp.zeros_like(h_ref[g])
+
+    TILE = min(32, S)
+    ntiles = S // TILE
+    local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) % TILE
+
+    x_io = x_ref[0]  # [S, D] in io dtype (keeps the MXU in bf16 when bf16)
+    u = x_io.astype(jnp.float32)
+    dl_raw = (
+        jax.lax.dot_general(
+            x_io, wd_ref[0].astype(x_io.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bias_ref[0]
+    )  # [S, D]
+    dl = jax.nn.softplus(dl_raw) if softplus else dl_raw
+    if padded:
+        base = pl.program_id(0) * S
+        step_ids = base + jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        dl = dl * (step_ids < seq_len).astype(jnp.float32)
+    bmat_sn = jax.lax.dot_general(
+        x_io, wb_ref[0].astype(x_io.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S, N]
+    cmat_sn = jax.lax.dot_general(
+        x_io, wc_ref[0].astype(x_io.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    bmat = jnp.swapaxes(bmat_sn, 0, 1)[:, :, None]  # [N, S, 1]
+    cmat = jnp.swapaxes(cmat_sn, 0, 1)[:, :, None]
+    a_g = a_ref[0]  # [N, D]
+
+    abar = jnp.exp(dl[None, :, :] * a_g[:, None, :])  # [N, S, D]
+    bbar = (dl * u)[None, :, :] * bmat
+
+    a_sc, b_sc = _tile_scan(abar, bbar, TILE, local_idx)
+    h_in = h_ref[g]
+    hb_ref[0, 0] = h_in
+    h_all, carry = _resolve_tiles(a_sc, b_sc, h_in, TILE, ntiles)
+    y = jnp.sum(h_all * cmat, axis=0)
+    y_ref[0] = (y + d_ref[0] * u).astype(y_ref.dtype)
+
+    h_ref[g] = carry
+    hout_ref[0] = carry
+
+
+@functools.partial(jax.jit, static_argnames=("delta_softplus",))
+def _pallas_fwd_fused(xs, w_delta, w_b, w_c, A, Dskip, delta_bias,
+                      delta_softplus):
+    """xs: [B,K,L,D]; w_delta: [K,D,D]; w_b, w_c: [K,D,N]; A: [K,D,N];
+    Dskip, delta_bias: [K,D].  Returns (y, h_last, h_bounds)."""
+    B, K, L, D = xs.shape
+    N = A.shape[-1]
+    G = B * K
+
+    S = _pick_chunk(G, D, N, L)
+    pad = (-L) % S
+    Lp = L + pad
+    C = Lp // S
+    f32 = jnp.float32
+    io_dtype = xs.dtype
+
+    x_c = xs.reshape(G, L, D)
+    if pad:
+        x_c = jnp.pad(x_c, ((0, 0), (0, pad), (0, 0)))
+
+    a_g = jnp.transpose(A.astype(f32), (0, 2, 1))  # [K, N, D]
+    d_g = Dskip.astype(f32)[:, None, :]  # [K, 1, D]
+    bias_g = delta_bias.astype(f32)[:, None, :]
+
+    kernel = functools.partial(
+        _scan_kernel_fused, chunk=S, softplus=delta_softplus, seq_len=L,
+        padded=bool(pad),
+    )
+    grid = (C, G)
+    spec_sd = pl.BlockSpec(
+        (1, S, D), lambda c, g: (g, c, 0), memory_space=pltpu.VMEM
+    )
+    # per-direction weights: k = g % K (g = b * K + k)
+    per_k = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda c, g: (g % K,) + (0,) * len(dims),
+        memory_space=pltpu.VMEM,
+    )
+    per_g = lambda *dims: pl.BlockSpec(
+        (1,) + dims, lambda c, g: (g,) + (0,) * len(dims),
+        memory_space=pltpu.VMEM,
+    )
+    hb_spec = pl.BlockSpec(
+        (1, 1, N, D), lambda c, g: (g, c, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    import math
+
+    y, h_last, h_bounds = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        grid=grid,
+        in_specs=[
+            spec_sd,          # xs
+            per_k(D, D),      # folded delta weight
+            per_k(D, N),      # B projection
+            per_k(D, N),      # C projection
+            per_k(N, D),      # A
+            per_k(1, D),      # D skip
+            per_k(1, D),      # delta bias
+        ],
+        out_specs=(spec_sd, per_g(N, D), hb_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Lp, D), io_dtype),
+            jax.ShapeDtypeStruct((G, N, D), f32),
+            jax.ShapeDtypeStruct((G, C, N, D), f32),
+        ),
+        scratch_shapes=[pltpu.VMEM((G, N, D), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(
+                (8 + 5 * math.log2(max(S, 2))) * C * S * G * N * D
+                + 2 * G * L * D * (D + 2 * N)
+            ),
+            bytes_accessed=2 * G * L * D * (2 if io_dtype == jnp.bfloat16 else 4),
+            transcendentals=C * S * G * N * D,
+        ),
+    )(x_c, w_delta, w_b, w_c, a_g, d_g, bias_g)
+
+    y = y[:, :L].reshape(B, K, L, D)
+    h_last = h_last.reshape(B, K, N, D).transpose(0, 1, 3, 2)
+    return y, h_last, h_bounds
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _selective_scan_pallas_fused(xs, w_delta, w_b, w_c, A, Dskip, delta_bias,
+                                 delta_softplus):
+    y, _, _ = _pallas_fwd_fused(xs, w_delta, w_b, w_c, A, Dskip, delta_bias,
+                                delta_softplus)
+    return y
+
+
+def _ssf_fwd(xs, w_delta, w_b, w_c, A, Dskip, delta_bias, delta_softplus):
+    y, _, h_bounds = _pallas_fwd_fused(
+        xs, w_delta, w_b, w_c, A, Dskip, delta_bias, delta_softplus
+    )
+    return y, (xs, w_delta, w_b, w_c, A, Dskip, delta_bias, h_bounds)
+
+
+def _ssf_bwd(delta_softplus, residuals, g):
+    """Backward: rematerialize delta/B/C (training only), reuse the Pallas
+    scan backward, then chain through the projections with einsums."""
+    xs, w_delta, w_b, w_c, A, Dskip, delta_bias, h_bounds = residuals
+    delta = jnp.einsum("bkld,kde->bkle", xs, w_delta.astype(xs.dtype))
+    Bmat = jnp.einsum("bkld,kdn->bkln", xs, w_b.astype(xs.dtype))
+    Cmat = jnp.einsum("bkld,kdn->bkln", xs, w_c.astype(xs.dtype))
+    gu, gdl, ga, gb, gc, gd, gbias = _pallas_bwd(
+        xs, delta, A, Bmat, Cmat, Dskip, delta_bias, h_bounds, g,
+        delta_softplus,
+    )
+    gxs = (
+        gu
+        + jnp.einsum("bkle,kde->bkld", gdl, w_delta.astype(gdl.dtype))
+        + jnp.einsum("bkln,kdn->bkld", gb, w_b.astype(gb.dtype))
+        + jnp.einsum("bkln,kdn->bkld", gc, w_c.astype(gc.dtype))
+    )
+    gwd = jnp.einsum("bkld,bkle->kde", xs, gdl).astype(w_delta.dtype)
+    gwb = jnp.einsum("bkld,bkln->kdn", xs, gb).astype(w_b.dtype)
+    gwc = jnp.einsum("bkld,bkln->kdn", xs, gc).astype(w_c.dtype)
+    return gxs.astype(xs.dtype), gwd, gwb, gwc, ga, gd, gbias
+
+
+_selective_scan_pallas_fused.defvjp(_ssf_fwd, _ssf_bwd)
+
+
+def selective_scan_pallas_fused(
+    xs, x_proj_weight, dt_projs_weight, A, Dskip, delta_bias,
+    dt_rank: int, d_state: int, delta_softplus: bool = True,
+):
+    """SS2D fused core: ``cross_selective_scan`` minus scan/merge layout
+    (reference src/emamba2.py:335-357) in one kernel.
+
+    xs: [B,K,L,D] decimated scan sequences; x_proj_weight: [K, R+2N, D];
+    dt_projs_weight: [K, D, R].  Returns y: [B,K,L,D].
+    """
+    R, N = dt_rank, d_state
+    wx = x_proj_weight
+    # fold the dt low-rank pair into one [D, D] matrix:
+    # delta = (x @ Wx_dt^T) @ Wdt^T  ==  x @ (Wx_dt^T Wdt^T)
+    w_delta = jnp.einsum("krd,ker->kde", wx[:, :R, :], dt_projs_weight)
+    w_b = jnp.transpose(wx[:, R : R + N, :], (0, 2, 1))  # [K, D, N]
+    w_c = jnp.transpose(wx[:, R + N : R + 2 * N, :], (0, 2, 1))
+    return _selective_scan_pallas_fused(
+        xs,
+        w_delta.astype(xs.dtype),
+        w_b.astype(xs.dtype),
+        w_c.astype(xs.dtype),
+        A,
+        Dskip,
+        delta_bias,
+        delta_softplus,
+    )
 
 
 _BWD_IMPL = "pallas"  # 'pallas' | 'xla' (chunked remat fallback)

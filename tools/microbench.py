@@ -29,6 +29,46 @@ def timeit(fn, *args, warmup=1, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
+def timeit_device(fn, x, *args, n_lo=2, n_hi=12):
+    """Tunnel-proof timing: compile device-side ``lax.scan`` loops of the op
+    at two iteration counts and difference the *fetched* wall times
+    (CLAUDE.md: block_until_ready without a fetch returns early through the
+    axon tunnel; the fetch costs a constant ~26 ms that the difference
+    cancels).  ``fn(x, *args)`` must return something reduceable; each
+    iteration feeds a scalar function of the output back into ``x`` so XLA
+    cannot elide or overlap iterations.
+    """
+
+    def loop(n):
+        def step(carry, _):
+            y = fn(carry, *args)
+            m = jnp.mean(jax.tree_util.tree_leaves(y)[0].astype(jnp.float32))
+            return carry + (m * 1e-30).astype(carry.dtype), None
+
+        return jax.jit(
+            lambda x0: jnp.sum(
+                jax.lax.scan(step, x0, None, length=n)[0].astype(jnp.float32)
+            )
+        )
+
+    lo, hi = loop(n_lo), loop(n_hi)
+    float(lo(x))  # compile + warm
+    float(hi(x))
+    t_lo = min(
+        (lambda t0: (float(lo(x)), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for _ in range(3)
+    )
+    t_hi = min(
+        (lambda t0: (float(hi(x)), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for _ in range(3)
+    )
+    return (t_hi - t_lo) / (n_hi - n_lo)
+
+
 def bench_scan(B=1, impl="pallas"):
     from founddiff_tpu.ops.selective_scan import selective_scan
 
@@ -51,10 +91,10 @@ def bench_scan(B=1, impl="pallas"):
         Dk = jnp.asarray(rng.randn(K, D), jnp.float32)
         bias = jnp.asarray(rng.randn(K, D) * 0.1, jnp.float32)
 
-        fn = jax.jit(
-            lambda *a: selective_scan(*a, delta_softplus=True, impl=impl)
+        fn = lambda u_, *a: selective_scan(
+            u_, *a, delta_softplus=True, impl=impl
         )
-        dt = timeit(fn, u, dl, A, Bm, Cm, Dk, bias)
+        dt = timeit_device(fn, u, dl, A, Bm, Cm, Dk, bias)
         total += dt
         print(f"scan {impl} B={B} L={L:6d} D={D:5d} N={N:3d}: {dt*1e3:8.2f} ms")
     print(f"scan {impl} B={B} total per 9-block fwd ~ {total*9/4*1e3:.1f} ms")
@@ -68,8 +108,7 @@ def bench_ss2d(B=1, size=512, dim=64):
     c = jnp.zeros((B, 1, 256))
     t = jnp.zeros((B, 256))
     params = m.init(jax.random.PRNGKey(0), x, c, t)
-    fn = jax.jit(lambda p, x: m.apply(p, x, c, t))
-    dt = timeit(fn, params, x)
+    dt = timeit_device(lambda x_: m.apply(params, x_, c, t), x)
     print(f"MambaBlock dim={dim} {size}^2 B={B}: {dt*1e3:.2f} ms")
 
 
@@ -83,8 +122,15 @@ def bench_unet(B=1, size=512):
     diffusion, model, params = build(cfg)
     x = jnp.zeros((B, size, size, 2))
     t = [jnp.full((B,), 500.0), jnp.full((B,), 500.0)]
-    fn = jax.jit(lambda p, x: model.apply({"params": p}, x, t)[0])
-    dt = timeit(fn, params, x, iters=3)
+    if os.environ.get("MB_DTYPE", "") == "bf16":
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+            params,
+        )
+        x = x.astype(jnp.bfloat16)
+    dt = timeit_device(
+        lambda x_: model.apply({"params": params}, x_, t)[0], x, n_lo=1, n_hi=4
+    )
     print(f"UNet fwd {size}^2 B={B} (no tower): {dt*1e3:.2f} ms")
 
 
