@@ -416,6 +416,11 @@ class CLIPIQA(nn.Module):
     transformer_width: int = 512
     transformer_layers: int = 12
     transformer_heads: int = 8
+    # EOT positions of the two tokenized prompts (reference derives them via
+    # tokenized_prompts.argmax(-1), src/DACLIP.py:967; configurable so
+    # tokenizer-bootstrapped or test towers can supply the real positions)
+    prompt_eot_indices: Tuple[int, ...] = (24, 25)
+    prompt_name_lens: Tuple[int, ...] = (3, 3)
 
     def setup(self):
         self.clip_model = CLIP(
@@ -427,7 +432,11 @@ class CLIPIQA(nn.Module):
             transformer_layers=self.transformer_layers,
             transformer_heads=self.transformer_heads,
         )
-        self.prompt_learner = PromptLearner(width=self.transformer_width)
+        self.prompt_learner = PromptLearner(
+            width=self.transformer_width,
+            eot_indices=self.prompt_eot_indices,
+            name_lens=self.prompt_name_lens,
+        )
         # head1: embed_dim -> 1024 -> embed_dim (reference Linear(1024,1024)
         # pairs with RN50's embed_dim=1024, src/DACLIP.py:1179-1188)
         self.head1_fc1 = dense(1024, name="head1_fc1")

@@ -136,7 +136,9 @@ def convert_resnet_block(c: Converter, fpath: str, tkey: str):
     c.conv(fpath + "/block1/proj", tkey + ".block1.proj")
     c.norm(fpath + "/block1/norm", tkey + ".block1.norm")
     # res_conv is Identity (no params) when dims match on both sides
-    c.conv(fpath + "/res_conv", tkey + ".res_conv")
+    # (reference src/DADiff.py:407-408), so only convert when present
+    if c.has(tkey + ".res_conv.weight"):
+        c.conv(fpath + "/res_conv", tkey + ".res_conv")
 
 
 def convert_ss2d(c: Converter, fpath: str, tkey: str, d_state: int):
@@ -243,7 +245,7 @@ def convert_visual(c: Converter, fpath: str, tkey: str,
         c.linear(f"{ap}/{proj}", f"{tp}.{proj}")
 
 
-def convert_text_transformer(c: Converter, fpath: str, tkey: str, layers=12):
+def convert_text_transformer(c: Converter, fpath: str, tkey: str, layers: int = 12):
     for i in range(layers):
         fb, tb = f"{fpath}/resblock_{i}", f"{tkey}.resblocks.{i}"
         c.norm(fb + "/ln_1", tb + ".ln_1")
@@ -259,20 +261,33 @@ def convert_text_transformer(c: Converter, fpath: str, tkey: str, layers=12):
         c.linear(fb + "/mlp_c_proj", tb + ".mlp.c_proj")
 
 
-def convert_clip(c: Converter, fpath: str, tkey: str):
-    convert_visual(c, fpath + "/visual", tkey + ".visual")
-    convert_text_transformer(c, fpath + "/transformer", tkey + ".transformer")
-    c.raw(fpath + "/token_embedding/embedding", tkey + ".token_embedding.weight")
+def convert_clip(c: Converter, fpath: str, tkey: str,
+                 vision_layers=(3, 4, 6, 3), transformer_layers: int = 12,
+                 with_token_embedding: bool = True):
+    convert_visual(c, fpath + "/visual", tkey + ".visual", layers=vision_layers)
+    convert_text_transformer(
+        c, fpath + "/transformer", tkey + ".transformer",
+        layers=transformer_layers,
+    )
+    if with_token_embedding:
+        # only traced (hence present in the flax tree) for encode_text users;
+        # CLIPIQA's forward path embeds prompts via PromptLearner buffers
+        c.raw(fpath + "/token_embedding/embedding",
+              tkey + ".token_embedding.weight")
     c.raw(fpath + "/positional_embedding", tkey + ".positional_embedding")
     c.norm(fpath + "/ln_final", tkey + ".ln_final")
     c.raw(fpath + "/text_projection", tkey + ".text_projection")
     c.raw(fpath + "/logit_scale", tkey + ".logit_scale")
 
 
-def convert_clipiqa(c: Converter, fpath: str, tkey_prefix: str = ""):
+def convert_clipiqa(c: Converter, fpath: str, tkey_prefix: str = "",
+                    vision_layers=(3, 4, 6, 3), transformer_layers: int = 12):
     """Dose-CLIP: CLIPIQA state dict (reference src/DACLIP.py:1135-1221)."""
     tk = (tkey_prefix + ".") if tkey_prefix else ""
-    convert_clip(c, fpath + "/clip_model", tk + "clip_model")
+    convert_clip(c, fpath + "/clip_model", tk + "clip_model",
+                 vision_layers=vision_layers,
+                 transformer_layers=transformer_layers,
+                 with_token_embedding=False)
     c.raw(fpath + "/prompt_learner/ctx", tk + "prompt_learner.ctx")
     c.raw(fpath + "/prompt_learner/token_prefix",
           tk + "prompt_learner.token_prefix")
@@ -323,6 +338,9 @@ def convert_denoiser_params(
     num_unet: int = 1,
     with_dose_encoder: bool = True,
     torch_prefix: str = "model.",
+    num_res: int = 4,
+    clip_vision_layers=(3, 4, 6, 3),
+    clip_transformer_layers: int = 12,
 ):
     """Convert a ``ResidualDiffusion``/``UnetRes`` torch state dict into a
     FoundDiffDenoiser/UnetRes param tree matching ``params_template``."""
@@ -330,11 +348,13 @@ def convert_denoiser_params(
     root = "model" if with_dose_encoder else ""
     for u in range(num_unet):
         fpath = f"{root}/unet{u}" if root else f"unet{u}"
-        convert_unet(c, fpath, f"unet{u}")
+        convert_unet(c, fpath, f"unet{u}", num_res=num_res)
     if with_dose_encoder:
         # the tower lives inside unet0 in the reference
         # (src/DADiff.py:588-600) but is shared at our composition level
-        convert_clipiqa(c, "dose_encoder", "unet0.dose_encoder")
+        convert_clipiqa(c, "dose_encoder", "unet0.dose_encoder",
+                        vision_layers=clip_vision_layers,
+                        transformer_layers=clip_transformer_layers)
     tree, applied = _apply(params_template, c.out)
     return tree, applied, c.missing
 

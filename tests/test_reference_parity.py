@@ -1,0 +1,282 @@
+"""End-to-end golden parity against the ACTUAL reference code.
+
+These tests import `/root/reference/src/DADiff.py` / `src/DACLIP.py` /
+`src/emamba2.py` (with the CUDA selective scan stubbed by a float64 torch
+recurrence — see tests/reference_compat.py), instantiate small
+reference models with random weights, convert their real ``state_dict()``
+through :mod:`founddiff_tpu.utils.torch_convert`, and assert that forward
+passes and the 2-step DDIM sampler match numerically.  This certifies the
+converter *and* the whole denoiser stack against the reference semantics
+(src/DADiff.py:530-836, src/emamba2.py:295-367) rather than hand-rewritten
+goldens.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tests.reference_compat import (
+    build_micro_clipiqa,
+    build_reference_unetres,
+    fake_tokenize,
+    import_reference,
+    micro_clip_overrides,
+    state_dict_numpy,
+)
+
+
+def _prompt_eot_indices():
+    """EOT positions of the fake-tokenized reference prompts
+    (reference src/DACLIP.py:904-912,967)."""
+    prefix = " ".join(["X"] * 16) + " "
+    prompts = [prefix + "high dose CT image..", prefix + "low dose CT noisy image.."]
+    return tuple(int(i) for i in fake_tokenize(prompts).argmax(dim=-1).tolist())
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    return import_reference()
+
+
+@pytest.fixture(scope="module")
+def parity_pair(ref_modules):
+    """(reference UnetRes, converted flax denoiser + params, eot)."""
+    DADiff, DACLIP, _ = ref_modules
+    from founddiff_tpu.models.founddiff import FoundDiffDenoiser
+    from founddiff_tpu.utils.torch_convert import convert_denoiser_params
+
+    iq = build_micro_clipiqa(DACLIP, seed=0)
+    torch.manual_seed(1)
+    # dim >= 32: the reference's TransposedAttention heads = dim // 32
+    # degenerates to 0 heads below that (src/DADiff.py:469)
+    net = build_reference_unetres(
+        DADiff,
+        iq,
+        dim=32,
+        dim_mults=(1, 2, 4, 8),
+        channels=1,
+        num_unet=1,
+        condition=True,
+        objective="pred_res",
+        test_res_or_noise="res",
+    )
+    eot = _prompt_eot_indices()
+    model = FoundDiffDenoiser(
+        dim=32,
+        dim_mults=(1, 2, 4, 8),
+        channels=1,
+        num_unet=1,
+        condition=True,
+        objective="pred_res",
+        test_res_or_noise="res",
+        scan_impl="ref",
+        clip_overrides=micro_clip_overrides(eot),
+    )
+    x0 = jnp.zeros((1, 32, 32, 2))
+    t0 = [jnp.zeros((1,)), jnp.zeros((1,))]
+    template = model.init(jax.random.PRNGKey(0), x0, t0)["params"]
+
+    params, applied, missing = convert_denoiser_params(
+        state_dict_numpy(net),
+        template,
+        num_unet=1,
+        with_dose_encoder=True,
+        torch_prefix="",
+        clip_vision_layers=(1, 1, 1, 1),
+        clip_transformer_layers=2,
+    )
+    assert not missing, f"converter missed torch keys: {missing[:8]}"
+    assert applied > 300
+    return net, model, params
+
+
+def test_unetres_forward_parity(parity_pair):
+    """Full denoiser forward (frozen tower + UNet) vs the reference."""
+    net, model, params = parity_pair
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 2, 32, 32).astype(np.float32) * 0.5
+    t_res = np.array([33.0, 12.0], np.float32)
+    t_noise = np.array([7.0, 3.0], np.float32)
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.tensor(x), [torch.tensor(t_res), torch.tensor(t_noise)]
+        )[0].numpy()
+
+    got = model.apply(
+        {"params": params},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        [jnp.asarray(t_res), jnp.asarray(t_noise)],
+    )[0]
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, ref_out, rtol=1e-3, atol=1e-4)
+
+
+def test_clipiqa_tower_parity(ref_modules, parity_pair):
+    """Dose/content embeddings of the converted tower vs the reference
+    CLIPIQA (src/DACLIP.py:1190-1221)."""
+    net, model, params = parity_pair
+    iq = net.unet0.dose_encoder
+    rs = np.random.RandomState(3)
+    img = rs.rand(2, 3, 32, 32).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        prob_t, dose_t, content_t = iq(torch.tensor(img))
+
+    from founddiff_tpu.models.clip import CLIPIQA
+
+    eot = _prompt_eot_indices()
+    tower = CLIPIQA(**dict(micro_clip_overrides(eot)))
+    prob_j, dose_j, content_j = tower.apply(
+        {"params": params["dose_encoder"]},
+        jnp.asarray(img.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(dose_j), dose_t.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(content_j), content_t.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(prob_j), prob_t.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_ddim_two_step_parity(ref_modules, parity_pair):
+    """2-step DDIM sampling vs the reference ResidualDiffusion
+    (src/DADiff.py:1276-1361), same injected initial noise."""
+    DADiff, _, _ = ref_modules
+    net, model, params = parity_pair
+
+    rd = DADiff.ResidualDiffusion(
+        model=net,
+        image_size=32,
+        timesteps=50,
+        sampling_timesteps=2,
+        objective="pred_res",
+        loss_type="l1",
+        condition=True,
+        sum_scale=0.01,
+        test_res_or_noise="res",
+    )
+    rd.eval()
+
+    rs = np.random.RandomState(7)
+    cond = rs.rand(1, 1, 32, 32).astype(np.float32)  # [0, 1] LDCT input
+    noise = rs.randn(1, 1, 32, 32).astype(np.float32)
+
+    real_randn = torch.randn
+    torch.randn = lambda *a, **k: torch.tensor(noise)
+    try:
+        with torch.no_grad():
+            ref_imgs = rd.sample(
+                x_input=[torch.tensor(cond)], batch_size=1, last=True
+            )
+    finally:
+        torch.randn = real_randn
+    ref_final = ref_imgs[-1].numpy()
+
+    from founddiff_tpu.diffusion import ResidualDiffusion
+
+    def model_fn(p, x_in, time, x_self_cond=None):
+        return model.apply({"params": p}, x_in, time, x_self_cond=x_self_cond)
+
+    ours = ResidualDiffusion(
+        model_fn,
+        image_size=32,
+        channels=1,
+        timesteps=50,
+        sampling_timesteps=2,
+        objective="pred_res",
+        loss_type="l1",
+        condition=True,
+        sum_scale=0.01,
+        test_res_or_noise="res",
+    )
+
+    noise_nhwc = jnp.asarray(noise.transpose(0, 2, 3, 1))
+    real_normal = jax.random.normal
+    jax.random.normal = lambda key, shape, dtype=jnp.float32: (
+        noise_nhwc.astype(dtype)
+        if tuple(shape) == noise_nhwc.shape
+        else real_normal(key, shape, dtype)
+    )
+    try:
+        out = ours.sample(
+            params,
+            jax.random.PRNGKey(0),
+            x_input=jnp.asarray(cond.transpose(0, 2, 3, 1)),
+            last=True,
+        )
+    finally:
+        jax.random.normal = real_normal
+    got = np.asarray(out[-1]).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, ref_final, rtol=1e-3, atol=2e-4)
+
+
+def test_transposed_attention_golden(ref_modules):
+    """TransposedAttention vs the reference module (src/DADiff.py:252-285)
+    — the shipped attention previously only had shape tests."""
+    DADiff, _, _ = ref_modules
+    from founddiff_tpu.models.blocks import TransposedAttention
+    from founddiff_tpu.utils.torch_convert import Converter, _apply
+
+    torch.manual_seed(5)
+    ref = DADiff.TransposedAttention(dim=64, heads=2).eval()
+    ours = TransposedAttention(dim=64, heads=2)
+    x = np.random.RandomState(11).randn(2, 64, 8, 8).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.tensor(x), None).numpy()
+
+    template = ours.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 64)), None
+    )["params"]
+    c = Converter(state_dict_numpy(ref))
+    c.raw("temperature", "temperature")
+    c.conv("qkv", "qkv", bias=False)
+    c.conv("qkv_dwconv", "qkv_dwconv", bias=False)
+    c.conv("project_out", "project_out", bias=False)
+    assert not c.missing
+    params, _ = _apply(template, c.out)
+
+    got = ours.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), None)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_ss2d_module_golden(ref_modules):
+    """Full SS2D module (x_dbl einsum / dt-proj / EfficientScan / merge /
+    out-norm / gate chain) vs the reference (src/emamba2.py:404-751)."""
+    _, _, emamba2 = ref_modules
+    from founddiff_tpu.models.ss2d import SS2D
+    from founddiff_tpu.utils.torch_convert import Converter, _apply, convert_ss2d
+
+    torch.manual_seed(9)
+    ref = emamba2.SS2D(d_model=32, d_state=8, expand=2.0, dropout=0.0).eval()
+    ours = SS2D(d_model=32, d_state=8, ssm_ratio=2.0, scan_impl="ref")
+
+    rs = np.random.RandomState(13)
+    x = rs.randn(2, 10, 12, 32).astype(np.float32)  # NHWC (ref takes NHWC too)
+    cemb = rs.randn(2, 1, 256).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.tensor(x), torch.tensor(cemb)).numpy()
+
+    template = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(cemb)
+    )["params"]
+    c = Converter({"m." + k: v for k, v in state_dict_numpy(ref).items()})
+    convert_ss2d(c, "", "m", d_state=8)
+    # convert_ss2d emits paths with a leading '' segment when fpath='';
+    # strip it
+    out = {tuple(p for p in k if p): v for k, v in c.out.items()}
+    assert not c.missing
+    params, _ = _apply(template, out)
+
+    got = ours.apply({"params": params}, jnp.asarray(x), jnp.asarray(cemb))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
