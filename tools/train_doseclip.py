@@ -41,6 +41,20 @@ def main():
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--out", default="checkpoints/dose_clip")
     p.add_argument("--bmc_sigma", type=float, default=1.0)
+    p.add_argument(
+        "--clip_weights",
+        default=None,
+        help="torch CLIP/CLIPIQA checkpoint (.pt/.pth) to convert into the "
+        "frozen towers; prompts are then bootstrapped from its "
+        "token-embedding table via the BPE tokenizer (reference "
+        "src/DACLIP.py:906-926) instead of random init",
+    )
+    p.add_argument(
+        "--bpe_path",
+        default=None,
+        help="bpe_simple_vocab_16e6.txt.gz path (default: $FOUNDDIFF_CLIP_BPE "
+        "or ~/.cache/clip/)",
+    )
     args = p.parse_args()
 
     from founddiff_tpu.data import DoseDataset, Loader, cycle
@@ -57,6 +71,51 @@ def main():
     model = CLIPIQA()
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
+
+    if args.clip_weights:
+        # 1) convert the pretrained CLIP tower; 2) bootstrap the prompt
+        # buffers from its token-embedding table + the real BPE tokenizer
+        # (the reference's PromptLearner init, src/DACLIP.py:906-926)
+        import numpy as np
+
+        from founddiff_tpu.models.tokenizer import (
+            ClipTokenizer,
+            bootstrap_prompt_learner,
+        )
+        from founddiff_tpu.utils.torch_convert import (
+            Converter,
+            _apply,
+            _to_numpy_state,
+            convert_clip,
+            load_torch_file,
+        )
+
+        sd = _to_numpy_state(load_torch_file(args.clip_weights))
+        prefix = "clip_model" if any(
+            k.startswith("clip_model.") for k in sd
+        ) else ""
+        c = Converter(sd)
+        convert_clip(c, "clip_model", prefix or "clip_model",
+                     with_token_embedding=False)
+        params, applied = _apply(params, c.out)
+        logger.info("converted %d CLIP tensors from %s",
+                    applied, args.clip_weights)
+
+        table_key = (prefix + "." if prefix else "") + "token_embedding.weight"
+        tok = ClipTokenizer(bpe_path=args.bpe_path)
+        prompt_params, eot, _ = bootstrap_prompt_learner(
+            np.asarray(sd[table_key]), tok
+        )
+        expected = model.prompt_eot_indices
+        if tuple(eot) != tuple(expected):
+            raise SystemExit(
+                f"tokenized prompt EOT positions {eot} != model config "
+                f"{expected}; pass matching prompt_eot_indices to CLIPIQA"
+            )
+        pl = dict(params["prompt_learner"])
+        pl.update({k: jnp.asarray(v) for k, v in prompt_params.items()})
+        params = dict(params, prompt_learner=pl)
+        logger.info("bootstrapped prompt buffers from token table, eot=%s", eot)
 
     # trainable: prompt ctx + heads; frozen: the CLIP towers
     def trainable_mask(params):
