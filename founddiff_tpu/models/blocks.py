@@ -286,7 +286,11 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        # nearest-2x as broadcast+reshape (one cheap fusion; jax.image.resize
+        # lowers to gathers that dominated the Upsample profile)
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (B, H, 2, W, 2, C)
+        ).reshape(B, H * 2, W * 2, C)
         return conv2d(self.dim_out, 3, name="conv")(x)
 
 
@@ -305,6 +309,20 @@ class ChannelAttention(nn.Module):
         return x * nn.sigmoid(y)
 
 
+class _ProjKernel(nn.Module):
+    """Bare 1x1-conv kernel param (path ``<name>/kernel`` stays converter-
+    compatible with the reference's ``project_out`` Conv2d)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", torch_kernel_init, (1, 1, self.dim, self.dim),
+            jnp.float32,
+        )
+
+
 class TransposedAttention(nn.Module):
     """Channel ('transposed') attention: C x C attention with the pixel axis
     contracted, never materializing L x L (reference src/DADiff.py:252-285).
@@ -317,7 +335,7 @@ class TransposedAttention(nn.Module):
     @nn.compact
     def __call__(self, x, c=None):
         B, H, W, C = x.shape
-        ch = C // self.heads
+        hd, ch = self.heads, C // self.heads
         temperature = self.param(
             "temperature", nn.initializers.ones, (self.heads, 1, 1), jnp.float32
         )
@@ -329,27 +347,33 @@ class TransposedAttention(nn.Module):
             feature_group_count=self.dim * 3,
             name="qkv_dwconv",
         )(qkv)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        # contract the pixel axis directly from the [B, L, h, c] layout —
-        # reshapes only split the trailing dim (no big relayouts); the L2
-        # normalization over L folds into the attention matmul's scaling
-        def split_heads(u):  # [B,H,W,C] -> [B, L, heads, ch]
-            return u.reshape(B, H * W, self.heads, ch)
+        # One Gram matmul over [q; k] yields the q.k^T attention logits AND
+        # both L2 norms (the diagonals of q.q^T / k.k^T) in a single pass
+        # over HBM — no split, no separate norm reduces.  Math identical to
+        # the reference chain (src/DADiff.py:266-281).
+        qk = qkv[..., : 2 * C].reshape(B, H * W, 2, hd, ch)
+        G = jnp.einsum(
+            "blshc,blthd->bsthcd", qk, qk, preferred_element_type=jnp.float32
+        )  # [B, 2, 2, heads, ch, ch]
+        qn2 = jnp.diagonal(G[:, 0, 0], axis1=-2, axis2=-1)  # [B, h, ch]
+        kn2 = jnp.diagonal(G[:, 1, 1], axis1=-2, axis2=-1)
+        qn = jnp.maximum(jnp.sqrt(qn2), 1e-12)
+        kn = jnp.maximum(jnp.sqrt(kn2), 1e-12)
+        attn = G[:, 0, 1] / (qn[..., None] * kn[:, :, None, :])
+        attn = jax.nn.softmax(attn * temperature, axis=-1)  # [B, h, c, d]
 
-        q, k, v = map(split_heads, (q, k, v))
-        # norms over L: [B, L, h, c] -> [B, h, c]
-        qn = jnp.maximum(jnp.linalg.norm(q.astype(jnp.float32), axis=1), 1e-12)
-        kn = jnp.maximum(jnp.linalg.norm(k.astype(jnp.float32), axis=1), 1e-12)
-        attn = jnp.einsum(
-            "blhc,blhd->bhcd", q, k, preferred_element_type=jnp.float32
-        )
-        attn = attn / (qn[..., None] * kn[:, :, None, :])
-        attn = attn * temperature.astype(jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhcd,blhd->blhc", attn, v)
-        out = out.reshape(B, H, W, C)
-        return conv2d(self.dim, 1, use_bias=self.use_bias, name="project_out")(out)
+        # fold project_out into the attention: out_px = P (blockdiag(attn) v_px)
+        # == v_px @ M_b with a per-batch [C, C] matrix — one pixel pass total
+        proj_kernel = _ProjKernel(self.dim, name="project_out")()
+        pk = proj_kernel[0, 0].reshape(hd, ch, C)  # [(h c), C] -> [h, c, C]
+        M = jnp.einsum("hce,bhcd->bhde", pk.astype(jnp.float32), attn)
+        M = M.reshape(B, C, C).astype(x.dtype)
+        v = qkv[..., 2 * C :].reshape(B, H * W, C)
+        out = jnp.einsum(
+            "blf,bfe->ble", v, M, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        return out.reshape(B, H, W, C)
 
 
 class LinearAttention(nn.Module):
