@@ -68,6 +68,23 @@ def _a_log_init(key, shape, dtype=jnp.float32):
     return jnp.log(jnp.broadcast_to(a, (K, D, N))).astype(dtype)
 
 
+class _AffineParams(nn.Module):
+    """Bare LayerNorm affine params (paths ``<name>/scale``, ``<name>/bias``
+    stay identical to :class:`LNorm` for the checkpoint converter)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return scale, bias
+
+
 class SS2D(nn.Module):
     """2-D selective scan module (reference src/emamba2.py:404-751)."""
 
@@ -117,17 +134,42 @@ class SS2D(nn.Module):
         )(xs)
         xs = nn.silu(xs)
 
-        y = self._scan_core(xs, H, W, d_inner, R, N, K)
-        y = LNorm(d_inner, eps=1e-5, name="out_norm")(y)
+        impl = self.scan_impl
+        if impl == "auto":
+            impl = "pallas_fused" if jax.default_backend() == "tpu" else "chunked"
+        # fused epilogue (merge+LN+gate+cond in one pass) rides the fused
+        # kernel path on even grids with the shipped v2 decimation
+        fuse_epilogue = (
+            impl == "pallas_fused"
+            and self.forward_type == "v2"
+            and H % 2 == 0
+            and W % 2 == 0
+        )
+        ys = self._scan_core(
+            xs, H, W, d_inner, R, N, K, impl=impl, merge=not fuse_epilogue
+        )
+        if fuse_epilogue:
+            from founddiff_tpu.ops.ss2d_fused import merge_ln_gate
 
-        y = y * z
-        if c is not None:
-            y = y + local[:, :, None, :]  # broadcast [B,1,1,d_inner] over H, W
+            ln_scale, ln_bias = _AffineParams(d_inner, name="out_norm")()
+            y = merge_ln_gate(
+                ys, z, ln_scale, ln_bias,
+                local[:, 0] if c is not None else None,
+                H=H, W=W, eps=1e-5,
+            )
+        else:
+            y = LNorm(d_inner, eps=1e-5, name="out_norm")(ys)
+            y = y * z
+            if c is not None:
+                # broadcast [B,1,1,d_inner] over H, W
+                y = y + local[:, :, None, :]
         out = dense(self.d_model, use_bias=self.use_bias, name="out_proj")(y)
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
 
-    def _scan_core(self, x, H, W, d_inner, R, N, K):
-        """cross_selective_scan (reference src/emamba2.py:295-367)."""
+    def _scan_core(self, x, H, W, d_inner, R, N, K, impl=None, merge=True):
+        """cross_selective_scan (reference src/emamba2.py:295-367).
+        ``merge=False`` returns the raw direction sequences [B, K, L, D] for
+        the fused epilogue."""
         if self.forward_type == "v0":
             from founddiff_tpu.ops.selective_scan import cross_scan_v0
 
@@ -151,7 +193,8 @@ class SS2D(nn.Module):
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner), jnp.float32)
 
         As = -jnp.exp(A_logs)
-        impl = self.scan_impl
+        if impl is None:
+            impl = self.scan_impl
         if impl == "auto":
             impl = "pallas_fused" if jax.default_backend() == "tpu" else "chunked"
         if impl == "pallas_fused":
@@ -182,6 +225,8 @@ class SS2D(nn.Module):
                 delta_softplus=True,
                 impl=impl,
             )
+        if not merge:
+            return ys.astype(x.dtype)
         if self.forward_type == "v0":
             from founddiff_tpu.ops.selective_scan import cross_merge_v0
 

@@ -1,0 +1,194 @@
+"""Fused SS2D epilogue: EfficientMerge + LayerNorm + z-gate + conditioning.
+
+The reference chains these as separate CUDA ops (merge src/emamba2.py:236-263,
+out_norm :357, gating/cond :748-751), and the XLA graph mirrors that with a
+merge copy plus 2-3 full-map elementwise passes.  This kernel does the whole
+epilogue in ONE pass over HBM:
+
+    out = LayerNorm(merge(ys)) * z + local
+
+- ``ys`` [B, 4, L, C] holds the 4 decimated direction sequences (dirs 1/3 are
+  column-major).  The column-major tiles are read via a transposed *view* of
+  the same buffer (free reshape) and transposed to row-major inside VMEM —
+  the interleave itself happens in registers, never in HBM.
+- LayerNorm statistics run in fp32 regardless of io dtype.
+- Backward (training) remats through the XLA composition via custom VJP.
+
+step_size == 2 and even H/W only (the shipped FoundDiff config); callers fall
+back to the unfused path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _epilogue_kernel(d0_ref, d1_ref, d2_ref, d3_ref, z_ref, g_ref, b_ref,
+                     loc_ref, o_ref, *, eps: float, has_local: bool):
+    """One (batch, row-block) cell.
+    d0/d2: [1, 1, bh, W2, C] row-major dirs; d1/d3: [1, 1, W2, bh, C]
+    column-major dirs; z/o: [1, bh, 2, W2, 2, C]; g/b: [1, C];
+    loc: [1, 1, C]."""
+    # out[2i, 2j]=d0, out[2i+1, 2j]=d1, out[2i, 2j+1]=d2, out[2i+1, 2j+1]=d3
+    # (reference src/emamba2.py:245-253).  LayerNorm is per-pixel over C, so
+    # each direction is processed independently on a small [bh, W2, C] tile
+    # and written straight into its (pi, pj) parity plane of the output
+    # block — no interleaved intermediate is ever materialized.
+    g = g_ref[0].astype(jnp.float32)
+    b = b_ref[0].astype(jnp.float32)
+    loc = loc_ref[0, 0].astype(jnp.float32) if has_local else None
+    tiles = (
+        (d0_ref, False, 0, 0),
+        (d1_ref, True, 1, 0),
+        (d2_ref, False, 0, 1),
+        (d3_ref, True, 1, 1),
+    )
+    for ref, transposed, pi, pj in tiles:
+        t = ref[0, 0]
+        if transposed:
+            t = jnp.swapaxes(t, 0, 1)  # [W2, bh, C] -> [bh, W2, C]
+        tf = t.astype(jnp.float32)
+        mean = jnp.mean(tf, axis=-1, keepdims=True)
+        var = jnp.mean(tf * tf, axis=-1, keepdims=True) - mean * mean
+        yn = (tf - mean) * jax.lax.rsqrt(var + eps) * g + b
+        out = yn * z_ref[0, :, pi, :, pj, :].astype(jnp.float32)
+        if has_local:
+            out = out + loc
+        o_ref[0, :, pi, :, pj, :] = out.astype(o_ref.dtype)
+
+
+def _merge_ln_gate_xla(ys, z, scale, bias, local, H, W, eps):
+    """Unfused reference composition (also the VJP path)."""
+    from founddiff_tpu.ops.selective_scan import efficient_merge
+
+    y = efficient_merge(ys, H, W, 2)
+    yf = y.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(yf * yf, axis=-1, keepdims=True) - mean * mean
+    yn = (yf - mean) * jax.lax.rsqrt(var + eps)
+    yn = yn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    out = yn * z.astype(jnp.float32)
+    if local is not None:
+        out = out + local[:, None, None, :].astype(jnp.float32)
+    return out.astype(z.dtype)
+
+
+def _pick_bh(H2: int, W2: int, C: int) -> int:
+    # ~8 live fp32 copies of a [bh, W2, C] tile through the per-direction
+    # LN chain, plus the [bh, 2, W2, 2, C] io blocks (double-buffered)
+    budget = 12 * 1024 * 1024
+    bh = max(8, budget // max(24 * W2 * C * 4, 1))
+    bh = min(bh, H2)
+    while H2 % bh:
+        bh -= 1
+    return max(bh, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "eps", "has_local"))
+def _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local):
+    B, K, L, C = ys.shape
+    H2, W2 = H // 2, W // 2
+    bh = _pick_bh(H2, W2, C)
+
+    ys_rows = ys.reshape(B, K, H2, W2, C)
+    ys_cols = ys.reshape(B, K, W2, H2, C)
+    z6 = z.reshape(B, H2, 2, W2, 2, C)
+    loc = (local if has_local else jnp.zeros((B, C), z.dtype)).reshape(B, 1, C)
+
+    row_spec = lambda d: pl.BlockSpec(
+        (1, 1, bh, W2, C), lambda b, h: (b, d, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    col_spec = lambda d: pl.BlockSpec(
+        (1, 1, W2, bh, C), lambda b, h: (b, d, 0, h, 0),
+        memory_space=pltpu.VMEM,
+    )
+    z_spec = pl.BlockSpec(
+        (1, bh, 2, W2, 2, C), lambda b, h: (b, h, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    vec_spec = pl.BlockSpec((1, C), lambda b, h: (0, 0),
+                            memory_space=pltpu.VMEM)
+    loc_spec = pl.BlockSpec((1, 1, C), lambda b, h: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_epilogue_kernel, eps=eps, has_local=has_local),
+        interpret=jax.default_backend() != "tpu",
+        grid=(B, H2 // bh),
+        in_specs=[
+            row_spec(0), col_spec(1), row_spec(2), col_spec(3),
+            z_spec, vec_spec, vec_spec, loc_spec,
+        ],
+        out_specs=z_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H2, 2, W2, 2, C), z.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * B * H * W * C,
+            bytes_accessed=3 * B * H * W * C * ys.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(
+        ys_rows, ys_cols, ys_rows, ys_cols,
+        z6, scale.reshape(1, C), bias.reshape(1, C), loc,
+    )
+    return out.reshape(B, H, W, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _merge_ln_gate(ys, z, scale, bias, local, H, W, eps, has_local):
+    return _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local)
+
+
+def _mlg_fwd(ys, z, scale, bias, local, H, W, eps, has_local):
+    return (
+        _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local),
+        (ys, z, scale, bias, local),
+    )
+
+
+def _mlg_bwd(H, W, eps, has_local, res, g):
+    ys, z, scale, bias, local = res
+
+    def f(ys_, z_, scale_, bias_, local_):
+        return _merge_ln_gate_xla(
+            ys_, z_, scale_, bias_, local_ if has_local else None, H, W, eps
+        )
+
+    _, vjp = jax.vjp(f, ys, z, scale, bias, local)
+    return vjp(g)
+
+
+_merge_ln_gate.defvjp(_mlg_fwd, _mlg_bwd)
+
+
+def merge_ln_gate(
+    ys: jnp.ndarray,
+    z: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    local: Optional[jnp.ndarray] = None,
+    *,
+    H: int,
+    W: int,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """``LayerNorm(efficient_merge(ys)) * z (+ local)`` in one HBM pass.
+
+    ys: [B, 4, (H/2)*(W/2), C]; z: [B, H, W, C]; scale/bias: [C];
+    local: [B, C] conditioning (added per-pixel) or None.
+    Requires even H, W (step_size=2 decimation).
+    """
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    has_local = local is not None
+    if local is None:
+        local = jnp.zeros((z.shape[0], z.shape[-1]), z.dtype)
+    return _merge_ln_gate(ys, z, scale, bias, local, H, W, eps, has_local)
