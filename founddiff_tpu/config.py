@@ -68,6 +68,9 @@ class TrainConfig:
     mixed_precision: str = "no"  # 'no' | 'bf16' (reference runs fp32)
     checkpoint_folder: str = "checkpoints/FoundDiff"
     keep_checkpoints: int = 3
+    # optional wandb mirror of metrics.jsonl (reference src/DADiff.py:1575)
+    use_wandb: bool = False
+    wandb_project: str = "founddiff_tpu"
 
 
 @dataclasses.dataclass

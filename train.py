@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--objective", type=str, default="pred_res")
     p.add_argument("--test_res_or_noise", type=str, default="res")
     p.add_argument("--image_size", type=int, default=512)
+    p.add_argument(
+        "--mesh_data", type=int, default=0,
+        help="data-parallel mesh axis size (0 = auto: all devices / seq)",
+    )
     p.add_argument("--torch_checkpoint", type=str, default="",
                    help="load a reference PyTorch model-<n>.pt")
     return p.parse_args(argv)
@@ -82,10 +86,25 @@ def main(argv=None):
 
     from founddiff_tpu.data import Mayo16Dataset, PDFDataset
     from founddiff_tpu.factory import build
+    from founddiff_tpu.parallel import init_distributed, make_mesh
     from founddiff_tpu.train import Trainer
     from founddiff_tpu.utils.logger import get_logger
 
     os.makedirs(cfg.train.checkpoint_folder, exist_ok=True)
+
+    # distributed: rendezvous (multi-host), then a ('data','seq') mesh when
+    # more than one device is visible or an explicit layout was configured
+    # (the reference's accelerate-DDP analogue, src/DADiff.py:1546-1552)
+    init_distributed()
+    import jax
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if opt.mesh_data or cfg.mesh.seq_axis > 1 or n_dev > 1:
+        data = opt.mesh_data or (
+            cfg.mesh.data_axis if cfg.mesh.data_axis > 0 else None
+        )
+        mesh = make_mesh(data=data, seq=cfg.mesh.seq_axis)
 
     diffusion, model, params = build(cfg)
 
@@ -107,7 +126,7 @@ def main(argv=None):
             stride=cfg.data.stride,
         )
         trainer = Trainer(diffusion, params, cfg, train_dataset=train_ds,
-                          sample_dataset=test_ds, model=model)
+                          sample_dataset=test_ds, model=model, mesh=mesh)
         if opt.torch_checkpoint:
             trainer.load_torch(opt.torch_checkpoint)
         trainer.train()
