@@ -3,12 +3,16 @@
 The reference trainer invokes ``python fid_and_inception_score.py <dir>``
 every 10k steps (src/DADiff.py:1746-1747) but the script is absent from the
 repo; this is the real implementation.  Computes FID between generated .npy
-slices and a reference directory using the frozen Dose-CLIP visual tower as
-the feature extractor (see founddiff_tpu/utils/fid.py for why InceptionV3
-weights are not assumed).
+slices and a reference directory.
+
+Feature extractor (required — random features make FID meaningless, so the
+script refuses to run without one):
+  --clip_weights  torch Dose-CLIP / CLIPIQA checkpoint, converted on the fly
+  --flax_params   a pickled/np-saved flax CLIPIQA param tree
 
 Usage:
-  python fid_and_inception_score.py <generated_dir> [--reference_dir DIR]
+  python fid_and_inception_score.py <generated_dir> \
+      --reference_dir DIR --clip_weights Dose-CLIP.pth
 """
 
 from __future__ import annotations
@@ -35,6 +39,48 @@ def load_dir(path: str, limit: int = 2048) -> np.ndarray:
     return np.stack(arrs)
 
 
+def load_extractor_params(args, tower):
+    """Pretrained CLIPIQA params or a loud refusal (FID over randomly
+    initialized features is close to meaningless)."""
+    import jax
+
+    if args.flax_params:
+        import pickle
+
+        with open(args.flax_params, "rb") as f:
+            return pickle.load(f)
+    if args.clip_weights:
+        from founddiff_tpu.utils.torch_convert import (
+            Converter,
+            _apply,
+            _to_numpy_state,
+            convert_clipiqa,
+            load_torch_file,
+        )
+
+        template = tower.init(
+            jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32)
+        )["params"]
+        sd = _to_numpy_state(load_torch_file(args.clip_weights))
+        c = Converter({"m." + k: v for k, v in sd.items()})
+        convert_clipiqa(c, "", "m")
+        out = {tuple(p for p in k if p): v for k, v in c.out.items()}
+        params, applied = _apply(template, out)
+        if c.missing:
+            raise SystemExit(
+                f"checkpoint {args.clip_weights} is missing "
+                f"{len(c.missing)} expected tensors, e.g. {c.missing[:3]}"
+            )
+        print(f"converted {applied} tensors from {args.clip_weights}",
+              file=sys.stderr)
+        return params
+    raise SystemExit(
+        "FID requires pretrained extractor features: pass --clip_weights "
+        "(torch Dose-CLIP checkpoint) or --flax_params. Refusing to score "
+        "with randomly initialized features."
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("generated_dir")
@@ -42,9 +88,13 @@ def main():
                    help="ground-truth slice dir (defaults to generated_dir, "
                         "yielding FID 0 as a smoke check)")
     p.add_argument("--limit", type=int, default=2048)
+    p.add_argument("--clip_weights", default=None,
+                   help="torch Dose-CLIP/CLIPIQA checkpoint for the feature "
+                        "tower (converted on the fly)")
+    p.add_argument("--flax_params", default=None,
+                   help="pickled flax CLIPIQA param tree")
     args = p.parse_args()
 
-    import jax
     from founddiff_tpu.models.clip import CLIPIQA
     from founddiff_tpu.utils.fid import compute_fid, make_clip_extractor
 
@@ -52,9 +102,7 @@ def main():
     ref = load_dir(args.reference_dir or args.generated_dir, args.limit)
 
     tower = CLIPIQA()
-    params = tower.init(
-        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32)
-    )["params"]
+    params = load_extractor_params(args, tower)
     extractor = make_clip_extractor(params, tower)
     fid = compute_fid(gen, ref, extractor)
     print(json.dumps({"fid": fid, "n_generated": len(gen), "n_reference": len(ref)}))

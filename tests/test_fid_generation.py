@@ -109,3 +109,22 @@ def test_image_folder_dataset(tmp_path):
     )
     gt, inp = pair_ds[1]
     assert gt.shape == inp.shape
+
+
+def test_fid_script_refuses_random_features(tmp_path):
+    """fid_and_inception_score.py must refuse to score with a randomly
+    initialized tower (VERDICT weak #4)."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    d = tmp_path / "gen"
+    d.mkdir()
+    np.save(d / "a.npy", np.zeros((8, 8), np.float32))
+    r = subprocess.run(
+        [sys.executable, "fid_and_inception_score.py", str(d)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode != 0
+    assert "Refusing" in (r.stderr + r.stdout)
