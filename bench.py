@@ -39,6 +39,9 @@ REF_EST_SLICES_PER_SEC = 0.133  # estimated CUDA reference (see docstring)
 
 
 def main() -> None:
+    from founddiff_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     size = int(os.environ.get("BENCH_SIZE", 512))
     steps = int(os.environ.get("BENCH_STEPS", 50))
     # throughput metric: serve device-batched waves (8 amortizes small-op

@@ -126,6 +126,50 @@ class ImageFolderDataset:
         return imgs
 
 
+class LSUNLmdbDataset:
+    """LSUN lmdb shard reader (reference datasets/generation/lsun.py:13-71):
+    keys cached beside the db, JPEG bytes decoded per item, center-cropped to
+    the short side and resized to ``image_size``."""
+
+    def __init__(self, db_path: str, image_size: int, augment_flip=False,
+                 seed: int = 0):
+        import lmdb  # optional; LSUN-only
+
+        self.env = lmdb.open(db_path, max_readers=1, readonly=True, lock=False,
+                             readahead=False, meminit=False)
+        self.image_size = image_size
+        self.augment_flip = augment_flip
+        self.rng = np.random.RandomState(seed)
+        cache_file = os.path.join(db_path, "_keys_cache.npy")
+        if os.path.exists(cache_file):
+            self.keys = list(np.load(cache_file, allow_pickle=True))
+        else:
+            with self.env.begin(write=False) as txn:
+                self.keys = [k for k, _ in txn.cursor()]
+            np.save(cache_file, np.asarray(self.keys, dtype=object))
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, i):
+        import cv2
+
+        with self.env.begin(write=False) as txn:
+            buf = txn.get(self.keys[i])
+        img = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_COLOR)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        s = min(h, w)
+        y0, x0 = (h - s) // 2, (w - s) // 2
+        img = img[y0 : y0 + s, x0 : x0 + s]
+        img = cv2.resize(img, (self.image_size, self.image_size),
+                         interpolation=cv2.INTER_AREA)
+        img = img.astype(np.float32) / 255.0
+        if self.augment_flip and self.rng.rand() < 0.5:
+            img = img[:, ::-1].copy()
+        return img
+
+
 # ---------------------------------------------------------------------------
 # data_transform / inverse_data_transform
 # (reference datasets/generation/__init__.py:186-216)
@@ -204,8 +248,18 @@ def get_generation_dataset(name: str, root: str, image_size: int,
         class _CelebA(ImageFolderDataset):
             def __getitem__(self, i):
                 img = _open_image(self.paths[i], self.convert)
+                # 128x128 crop around (cx=89, cy=121), then resize to
+                # image_size (reference datasets/generation/__init__.py:63-99:
+                # Crop(cy-64, cy+64, cx-64, cx+64) + transforms.Resize)
                 cy, cx = 121, 89
                 img = img[cy - 64 : cy + 64, cx - 64 : cx + 64]
+                if self.image_size != img.shape[0]:
+                    import cv2
+
+                    img = cv2.resize(
+                        img, (self.image_size, self.image_size),
+                        interpolation=cv2.INTER_LINEAR,
+                    )
                 (img,) = self._augment([img])
                 return img
 
@@ -218,6 +272,16 @@ def get_generation_dataset(name: str, root: str, image_size: int,
     if name == "LSUN":
         folder = os.path.join(root, "lsun", f"{category}_train")
         val = os.path.join(root, "lsun", f"{category}_val")
+        # the reference reads LSUN's lmdb shards
+        # (datasets/generation/lsun.py); use them when present (and the lmdb
+        # package is installed), else fall back to extracted image folders
+        lmdb_train = folder + "_lmdb"
+        if os.path.isdir(lmdb_train):
+            return (
+                LSUNLmdbDataset(lmdb_train, image_size,
+                                augment_flip=random_flip),
+                LSUNLmdbDataset(val + "_lmdb", image_size, augment_flip=False),
+            )
         return (
             ImageFolderDataset(folder, image_size, augment_flip=random_flip),
             ImageFolderDataset(val, image_size, augment_flip=False),

@@ -162,6 +162,24 @@ class CropToFixed:
         self.centered = centered
 
     def __call__(self, m):
+        # mirrors the reference exactly (data/transforms.py:203-249): randint
+        # over an EXCLUSIVE [0, max-crop) range, randint is ALWAYS consumed
+        # (range 1 when padding — keeps paired-RNG lockstep), and the
+        # too-small case pads SYMMETRICALLY (half before, half after)
+        def _padding(pad_total):
+            half = pad_total // 2
+            return (half, pad_total - half)
+
+        def _rand_range_and_pad(crop, size):
+            if crop < size:
+                return size - crop, (0, 0)
+            return 1, _padding(crop - size)
+
+        def _start_and_pad(crop, size):
+            if crop < size:
+                return (size - crop) // 2, (0, 0)
+            return 0, _padding(crop - size)
+
         def volume_pad(m, pady, padx):
             if m.ndim == 4:
                 return np.pad(m, ((0, 0), (0, 0), pady, padx), mode="reflect")
@@ -169,23 +187,13 @@ class CropToFixed:
 
         y, x = m.shape[-2:]
         if not self.centered:
-            if self.crop_y < y:
-                y_start = self.random_state.randint(y - self.crop_y + 1)
-                pady = (0, 0)
-            else:
-                y_start, pady = 0, (0, self.crop_y - y)
-            if self.crop_x < x:
-                x_start = self.random_state.randint(x - self.crop_x + 1)
-                padx = (0, 0)
-            else:
-                x_start, padx = 0, (0, self.crop_x - x)
+            y_range, pady = _rand_range_and_pad(self.crop_y, y)
+            x_range, padx = _rand_range_and_pad(self.crop_x, x)
+            y_start = self.random_state.randint(y_range)
+            x_start = self.random_state.randint(x_range)
         else:
-            y_start, pady = (y - self.crop_y) // 2 if self.crop_y < y else 0, (
-                (0, 0) if self.crop_y < y else (0, self.crop_y - y)
-            )
-            x_start, padx = (x - self.crop_x) // 2 if self.crop_x < x else 0, (
-                (0, 0) if self.crop_x < x else (0, self.crop_x - x)
-            )
+            y_start, pady = _start_and_pad(self.crop_y, y)
+            x_start, padx = _start_and_pad(self.crop_x, x)
         result = m[..., y_start : y_start + self.crop_y, x_start : x_start + self.crop_x]
         if pady != (0, 0) or padx != (0, 0):
             result = volume_pad(result, pady, padx)

@@ -136,7 +136,10 @@ def convert_resnet_block(c: Converter, fpath: str, tkey: str):
     c.conv(fpath + "/block1/proj", tkey + ".block1.proj")
     c.norm(fpath + "/block1/norm", tkey + ".block1.norm")
     # res_conv is Identity (no params) when dims match on both sides
-    # (reference src/DADiff.py:407-408), so only convert when present
+    # (reference src/DADiff.py:407-408), so only convert when present; the
+    # request is always registered so coverage synthesis still sees the key
+    c._req(fpath + "/res_conv/kernel", tkey + ".res_conv.weight", "conv")
+    c._req(fpath + "/res_conv/bias", tkey + ".res_conv.bias", "raw")
     if c.has(tkey + ".res_conv.weight"):
         c.conv(fpath + "/res_conv", tkey + ".res_conv")
 

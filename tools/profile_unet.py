@@ -29,6 +29,10 @@ def capture(out: str, batch: int, size: int, dtype: str, what: str) -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from founddiff_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from founddiff_tpu.config import Config
     from founddiff_tpu.factory import build
 
