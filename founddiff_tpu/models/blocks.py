@@ -348,19 +348,28 @@ class TransposedAttention(nn.Module):
             name="qkv_dwconv",
         )(qkv)
 
-        # One Gram matmul over [q; k] yields the q.k^T attention logits AND
-        # both L2 norms (the diagonals of q.q^T / k.k^T) in a single pass
-        # over HBM — no split, no separate norm reduces.  Math identical to
-        # the reference chain (src/DADiff.py:266-281).
-        qk = qkv[..., : 2 * C].reshape(B, H * W, 2, hd, ch)
+        # One flat Gram matmul over [q; k] yields the q.k^T attention logits
+        # AND both L2 norms (diagonals) in a single pass over HBM — no qkv
+        # split, no head-split relayout, no separate norm reduces.  The
+        # [B, 2C, 2C] Gram includes cross-head blocks (discarded; the extra
+        # MXU FLOPs are negligible next to the saved passes).  Math identical
+        # to the reference chain (src/DADiff.py:266-281).
+        qk = qkv[..., : 2 * C].reshape(B, H * W, 2 * C)
         G = jnp.einsum(
-            "blshc,blthd->bsthcd", qk, qk, preferred_element_type=jnp.float32
-        )  # [B, 2, 2, heads, ch, ch]
-        qn2 = jnp.diagonal(G[:, 0, 0], axis1=-2, axis2=-1)  # [B, h, ch]
-        kn2 = jnp.diagonal(G[:, 1, 1], axis1=-2, axis2=-1)
-        qn = jnp.maximum(jnp.sqrt(qn2), 1e-12)
-        kn = jnp.maximum(jnp.sqrt(kn2), 1e-12)
-        attn = G[:, 0, 1] / (qn[..., None] * kn[:, :, None, :])
+            "blc,bld->bcd", qk, qk, preferred_element_type=jnp.float32
+        )  # [B, 2C, 2C]
+        diag = jnp.diagonal(G, axis1=1, axis2=2)  # [B, 2C]
+        qn = jnp.maximum(jnp.sqrt(diag[:, :C]), 1e-12).reshape(B, hd, ch)
+        kn = jnp.maximum(jnp.sqrt(diag[:, C:]), 1e-12).reshape(B, hd, ch)
+        qk_block = G[:, :C, C:]  # [B, C, C]; per-head blocks on the diagonal
+        attn = jnp.stack(
+            [
+                qk_block[:, i * ch : (i + 1) * ch, i * ch : (i + 1) * ch]
+                for i in range(hd)
+            ],
+            axis=1,
+        )  # [B, h, ch, ch]
+        attn = attn / (qn[..., None] * kn[:, :, None, :])
         attn = jax.nn.softmax(attn * temperature, axis=-1)  # [B, h, c, d]
 
         # fold project_out into the attention: out_px = P (blockdiag(attn) v_px)
@@ -477,11 +486,20 @@ class CrossAttention(nn.Module):
             return u.reshape(B, -1, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = map(to_heads, (q, k, v))
-        sim = jnp.einsum(
-            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        # long self-/cross-contexts route through the streamed flash kernel
+        # (the L x L score matrix would not fit at 512^2 pixels); the
+        # FoundDiff config's 1-token Dose-CLIP context stays on plain XLA
+        Lq, Lk = q.shape[2], k.shape[2]
+        if Lq * Lk >= 1024 * 1024 and Lk >= 128 and not self.is_initializing():
+            from founddiff_tpu.ops.attention_pallas import flash_attention
+
+            out = flash_attention(q, k, v, scale)
+        else:
+            sim = jnp.einsum(
+                "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, H * W, inner)
         out = dense(self.query_dim, name="to_out")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)

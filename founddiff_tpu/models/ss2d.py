@@ -118,9 +118,22 @@ class SS2D(nn.Module):
                 dense(d_inner, use_bias=False, name="cond_proj")(c)
             )  # [B, 1, d_inner]
 
+        impl = self.scan_impl
+        if impl == "auto":
+            impl = "pallas_fused" if jax.default_backend() == "tpu" else "chunked"
+        # fused epilogue (merge+LN+silu-gate+cond in one pass) rides the
+        # fused kernel path on even grids with the shipped v2 decimation
+        fuse_epilogue = (
+            impl == "pallas_fused"
+            and self.forward_type == "v2"
+            and H % 2 == 0
+            and W % 2 == 0
+        )
+
         xz = dense(2 * d_inner, use_bias=self.use_bias, name="in_proj")(x)
         xs, z = jnp.split(xz, 2, axis=-1)
-        z = nn.silu(z)
+        if not fuse_epilogue:
+            z = nn.silu(z)  # fused path applies silu(z) inside the epilogue
 
         from founddiff_tpu.models.blocks import conv2d
 
@@ -134,17 +147,6 @@ class SS2D(nn.Module):
         )(xs)
         xs = nn.silu(xs)
 
-        impl = self.scan_impl
-        if impl == "auto":
-            impl = "pallas_fused" if jax.default_backend() == "tpu" else "chunked"
-        # fused epilogue (merge+LN+gate+cond in one pass) rides the fused
-        # kernel path on even grids with the shipped v2 decimation
-        fuse_epilogue = (
-            impl == "pallas_fused"
-            and self.forward_type == "v2"
-            and H % 2 == 0
-            and W % 2 == 0
-        )
         ys = self._scan_core(
             xs, H, W, d_inner, R, N, K, impl=impl, merge=not fuse_epilogue
         )
@@ -155,7 +157,7 @@ class SS2D(nn.Module):
             y = merge_ln_gate(
                 ys, z, ln_scale, ln_bias,
                 local[:, 0] if c is not None else None,
-                H=H, W=W, eps=1e-5,
+                H=H, W=W, eps=1e-5, gate_silu=True,
             )
         else:
             y = LNorm(d_inner, eps=1e-5, name="out_norm")(ys)

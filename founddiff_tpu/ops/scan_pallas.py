@@ -81,12 +81,35 @@ def _chunk_inputs(u_ref, dl_ref, b_ref, c_ref, bias_ref, chunk_index, *,
     return u, dl_raw, dl, valid, bmat, cmat
 
 
+_TILE_SCAN_IMPL = "shift"  # 'shift' (concat-slice) | 'roll' (roll + masks)
+
+
 def _tile_scan(a, b, TILE, local_idx):
-    """Hillis-Steele inclusive scans within TILE-step tiles; masks on the
-    local index kill roll wraparound AND cross-tile leakage in one go.
+    """Hillis-Steele inclusive scans within TILE-step tiles.
       (a, b)_t <- combine((a, b)_{t-s}, (a, b)_t)
                 = (a_{t-s} * a_t, a_t * b_{t-s} + b_t)
+
+    'shift' variant: expose the tile axis ([N, S, D] -> [N, nt, T, D]) and
+    shift with identity fill via concat+static-slice — 4 vector ops/level
+    instead of roll's 6 (2 rolls + 2 masked selects + mul + fma), and no
+    cross-tile leakage to mask.
     """
+    if _TILE_SCAN_IMPL == "shift":
+        N, S, D = a.shape
+        nt = S // TILE
+        a4 = a.reshape(N, nt, TILE, D)
+        b4 = b.reshape(N, nt, TILE, D)
+        shift = 1
+        while shift < TILE:
+            ident = jnp.ones_like(a4[:, :, :shift])
+            zero = jnp.zeros_like(ident)
+            a_sh = jnp.concatenate([ident, a4[:, :, :-shift]], axis=2)
+            b_sh = jnp.concatenate([zero, b4[:, :, :-shift]], axis=2)
+            b4 = a4 * b_sh + b4
+            a4 = a4 * a_sh
+            shift *= 2
+        return a4.reshape(N, S, D), b4.reshape(N, S, D)
+
     shift = 1
     while shift < TILE:
         a_sh = jnp.roll(a, shift, axis=1)

@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _epilogue_kernel(d0_ref, d1_ref, d2_ref, d3_ref, z_ref, g_ref, b_ref,
-                     loc_ref, o_ref, *, eps: float, has_local: bool):
+                     loc_ref, o_ref, *, eps: float, has_local: bool,
+                     gate_silu: bool):
     """One (batch, row-block) cell.
     d0/d2: [1, 1, bh, W2, C] row-major dirs; d1/d3: [1, 1, W2, bh, C]
     column-major dirs; z/o: [1, bh, 2, W2, 2, C]; g/b: [1, C];
@@ -57,13 +58,17 @@ def _epilogue_kernel(d0_ref, d1_ref, d2_ref, d3_ref, z_ref, g_ref, b_ref,
         mean = jnp.mean(tf, axis=-1, keepdims=True)
         var = jnp.mean(tf * tf, axis=-1, keepdims=True) - mean * mean
         yn = (tf - mean) * jax.lax.rsqrt(var + eps) * g + b
-        out = yn * z_ref[0, :, pi, :, pj, :].astype(jnp.float32)
+        zt = z_ref[0, :, pi, :, pj, :].astype(jnp.float32)
+        if gate_silu:
+            zt = zt * jax.nn.sigmoid(zt)  # silu folded in (one less pass)
+        out = yn * zt
         if has_local:
             out = out + loc
         o_ref[0, :, pi, :, pj, :] = out.astype(o_ref.dtype)
 
 
-def _merge_ln_gate_xla(ys, z, scale, bias, local, H, W, eps):
+def _merge_ln_gate_xla(ys, z, scale, bias, local, H, W, eps,
+                       gate_silu=False):
     """Unfused reference composition (also the VJP path)."""
     from founddiff_tpu.ops.selective_scan import efficient_merge
 
@@ -73,7 +78,10 @@ def _merge_ln_gate_xla(ys, z, scale, bias, local, H, W, eps):
     var = jnp.mean(yf * yf, axis=-1, keepdims=True) - mean * mean
     yn = (yf - mean) * jax.lax.rsqrt(var + eps)
     yn = yn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    out = yn * z.astype(jnp.float32)
+    zf = z.astype(jnp.float32)
+    if gate_silu:
+        zf = zf * jax.nn.sigmoid(zf)
+    out = yn * zf
     if local is not None:
         out = out + local[:, None, None, :].astype(jnp.float32)
     return out.astype(z.dtype)
@@ -90,8 +98,9 @@ def _pick_bh(H2: int, W2: int, C: int) -> int:
     return max(bh, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "eps", "has_local"))
-def _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local):
+@functools.partial(jax.jit, static_argnames=("H", "W", "eps", "has_local",
+                                             "gate_silu"))
+def _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local, gate_silu):
     B, K, L, C = ys.shape
     H2, W2 = H // 2, W // 2
     bh = _pick_bh(H2, W2, C)
@@ -119,7 +128,8 @@ def _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local):
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_epilogue_kernel, eps=eps, has_local=has_local),
+        functools.partial(_epilogue_kernel, eps=eps, has_local=has_local,
+                          gate_silu=gate_silu),
         interpret=jax.default_backend() != "tpu",
         grid=(B, H2 // bh),
         in_specs=[
@@ -143,24 +153,28 @@ def _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local):
     return out.reshape(B, H, W, C)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _merge_ln_gate(ys, z, scale, bias, local, H, W, eps, has_local):
-    return _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _merge_ln_gate(ys, z, scale, bias, local, H, W, eps, has_local,
+                   gate_silu):
+    return _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local,
+                      gate_silu)
 
 
-def _mlg_fwd(ys, z, scale, bias, local, H, W, eps, has_local):
+def _mlg_fwd(ys, z, scale, bias, local, H, W, eps, has_local, gate_silu):
     return (
-        _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local),
+        _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local,
+                   gate_silu),
         (ys, z, scale, bias, local),
     )
 
 
-def _mlg_bwd(H, W, eps, has_local, res, g):
+def _mlg_bwd(H, W, eps, has_local, gate_silu, res, g):
     ys, z, scale, bias, local = res
 
     def f(ys_, z_, scale_, bias_, local_):
         return _merge_ln_gate_xla(
-            ys_, z_, scale_, bias_, local_ if has_local else None, H, W, eps
+            ys_, z_, scale_, bias_, local_ if has_local else None, H, W, eps,
+            gate_silu=gate_silu,
         )
 
     _, vjp = jax.vjp(f, ys, z, scale, bias, local)
@@ -180,8 +194,10 @@ def merge_ln_gate(
     H: int,
     W: int,
     eps: float = 1e-5,
+    gate_silu: bool = False,
 ) -> jnp.ndarray:
-    """``LayerNorm(efficient_merge(ys)) * z (+ local)`` in one HBM pass.
+    """``LayerNorm(efficient_merge(ys)) * gate(z) (+ local)`` in one HBM
+    pass; ``gate_silu=True`` applies silu(z) in-kernel (pass raw z).
 
     ys: [B, 4, (H/2)*(W/2), C]; z: [B, H, W, C]; scale/bias: [C];
     local: [B, C] conditioning (added per-pixel) or None.
@@ -191,4 +207,5 @@ def merge_ln_gate(
     has_local = local is not None
     if local is None:
         local = jnp.zeros((z.shape[0], z.shape[-1]), z.dtype)
-    return _merge_ln_gate(ys, z, scale, bias, local, H, W, eps, has_local)
+    return _merge_ln_gate(ys, z, scale, bias, local, H, W, eps, has_local,
+                          gate_silu)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import collections
+import functools
 import glob
 import gzip
 import json
@@ -32,6 +33,10 @@ def capture(out: str, batch: int, size: int, dtype: str, what: str) -> None:
     from founddiff_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if what == "scan":
+        _capture_scan(out, batch)
+        return
 
     from founddiff_tpu.config import Config
     from founddiff_tpu.factory import build
@@ -60,6 +65,39 @@ def capture(out: str, batch: int, size: int, dtype: str, what: str) -> None:
     jax.block_until_ready(out_arr)
     jax.profiler.stop_trace()
     print(f"trace written under {out}")
+
+
+def _capture_scan(out: str, batch: int) -> None:
+    """Profile only the fused scan kernel at the four UNet scales (fast
+    compile — the iteration loop for kernel work)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from founddiff_tpu.ops.scan_pallas import selective_scan_pallas_fused
+
+    scales = [(65536, 128, 4, 8), (16384, 256, 8, 16),
+              (4096, 512, 16, 32), (1024, 1024, 32, 64)]
+    fns = []
+    for L, D, N, R in scales:
+        rs = np.random.RandomState(0)
+        xs = jnp.asarray(rs.randn(batch, 4, L, D), jnp.bfloat16) * 0.3
+        xw = jnp.asarray(rs.randn(4, R + 2 * N, D), jnp.float32) * 0.1
+        dtw = jnp.asarray(rs.randn(4, D, R), jnp.float32) * 0.1
+        A = -jnp.abs(jnp.asarray(rs.randn(4, D, N), jnp.float32))
+        Ds = jnp.asarray(rs.randn(4, D), jnp.float32)
+        bias = jnp.asarray(rs.randn(4, D) * 0.1, jnp.float32)
+        f = jax.jit(functools.partial(
+            selective_scan_pallas_fused, dt_rank=R, d_state=N))
+        y = f(xs, xw, dtw, A, Ds, bias)
+        jax.block_until_ready(y)
+        fns.append((f, (xs, xw, dtw, A, Ds, bias)))
+    jax.profiler.start_trace(out)
+    for _ in range(3):
+        outs = [f(*a) for f, a in fns]
+    jax.block_until_ready(outs)
+    jax.profiler.stop_trace()
+    print(f"scan trace written under {out}")
 
 
 CATEGORIES = [
