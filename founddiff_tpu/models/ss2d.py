@@ -147,19 +147,25 @@ class SS2D(nn.Module):
         )(xs)
         xs = nn.silu(xs)
 
-        ys = self._scan_core(
-            xs, H, W, d_inner, R, N, K, impl=impl, merge=not fuse_epilogue
-        )
         if fuse_epilogue:
-            from founddiff_tpu.ops.ss2d_fused import merge_ln_gate
+            # image-direct path: decimation rides the scan kernels' block
+            # DMA; merge+LN+silu-gate+cond fuse into the epilogue kernel
+            from founddiff_tpu.ops.scan_pallas import selective_scan_image
+            from founddiff_tpu.ops.ss2d_fused import merge_ln_gate_split
 
+            xw, dtw, dt_bias, A_logs, Ds = self._scan_params(d_inner, R, N, K)
+            ys_rows, ys_cols = selective_scan_image(
+                xs, xw, dtw, -jnp.exp(A_logs), Ds, dt_bias,
+                dt_rank=R, d_state=N, delta_softplus=True,
+            )
             ln_scale, ln_bias = _AffineParams(d_inner, name="out_norm")()
-            y = merge_ln_gate(
-                ys, z, ln_scale, ln_bias,
+            y = merge_ln_gate_split(
+                ys_rows, ys_cols, z, ln_scale, ln_bias,
                 local[:, 0] if c is not None else None,
                 H=H, W=W, eps=1e-5, gate_silu=True,
             )
         else:
+            ys = self._scan_core(xs, H, W, d_inner, R, N, K, impl=impl)
             y = LNorm(d_inner, eps=1e-5, name="out_norm")(ys)
             y = y * z
             if c is not None:
@@ -168,17 +174,9 @@ class SS2D(nn.Module):
         out = dense(self.d_model, use_bias=self.use_bias, name="out_proj")(y)
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
 
-    def _scan_core(self, x, H, W, d_inner, R, N, K, impl=None, merge=True):
-        """cross_selective_scan (reference src/emamba2.py:295-367).
-        ``merge=False`` returns the raw direction sequences [B, K, L, D] for
-        the fused epilogue."""
-        if self.forward_type == "v0":
-            from founddiff_tpu.ops.selective_scan import cross_scan_v0
-
-            xs = cross_scan_v0(x)  # [B, K, H*W, D]
-        else:
-            xs = efficient_scan(x, self.step_size)  # [B, K, L, D]
-
+    def _scan_params(self, d_inner, R, N, K):
+        """Stacked per-direction scan parameters
+        (reference src/emamba2.py:498-586)."""
         x_proj_weight = self.param(
             "x_proj_weight",
             torch_kernel_init,
@@ -193,6 +191,21 @@ class SS2D(nn.Module):
         )
         A_logs = self.param("A_logs", _a_log_init, (K, d_inner, N), jnp.float32)
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner), jnp.float32)
+        return x_proj_weight, dt_projs_weight, dt_projs_bias, A_logs, Ds
+
+    def _scan_core(self, x, H, W, d_inner, R, N, K, impl=None, merge=True):
+        """cross_selective_scan (reference src/emamba2.py:295-367).
+        ``merge=False`` returns the raw direction sequences [B, K, L, D] for
+        the fused epilogue."""
+        if self.forward_type == "v0":
+            from founddiff_tpu.ops.selective_scan import cross_scan_v0
+
+            xs = cross_scan_v0(x)  # [B, K, H*W, D]
+        else:
+            xs = efficient_scan(x, self.step_size)  # [B, K, L, D]
+
+        (x_proj_weight, dt_projs_weight, dt_projs_bias, A_logs,
+         Ds) = self._scan_params(d_inner, R, N, K)
 
         As = -jnp.exp(A_logs)
         if impl is None:

@@ -749,6 +749,252 @@ def selective_scan_pallas_fused(
     )
 
 
+# ---------------------------------------------------------------------------
+# Image-direct fused scan: reads the FOUR decimated direction sequences
+# straight out of the NHWC activation via strided block DMA (a
+# [B, H/2, 2, W/2, 2, D] view), so EfficientScan never materializes
+# (reference src/emamba2.py:182-234 is an explicit strided copy).  Two
+# pallas_calls: row-major dirs (0, 2) chunk over row blocks; column-major
+# dirs (1, 3) chunk over column blocks with an in-VMEM transpose.  Outputs
+# stay in per-orientation sequence layout for the fused epilogue.
+# ---------------------------------------------------------------------------
+
+
+def _pick_tile(S: int) -> int:
+    t = min(32, S)
+    while S % t:
+        t //= 2
+    return max(t, 1)
+
+
+def _scan_kernel_image(x_ref, wd_ref, wb_ref, wc_ref, a_ref, d_ref, bias_ref,
+                       y_ref, h_ref, *, chunk: int, softplus: bool,
+                       col_major: bool, D: int):
+    """One grid cell scans BOTH pixel-parity directions of one orientation
+    (their inputs share lanes: the pixel-pair dim is merged into the lane
+    axis, so the block DMA is perfectly shaped and x is read once for two
+    directions).
+
+    Row variant: x_ref [1, s, 1, W2, 2D] (pi=0 plane),
+                 y_ref [1, 2, s, W2, D].
+    Col variant: x_ref [1, H2, 1, s, 2D] (pi=1 plane),
+                 y_ref [1, 2, s, H2, D].
+    Weight refs hold the two directions stacked: e.g. wd_ref [1, 2, D, D].
+    Scratch h_ref: [B, 2, N, D]."""
+    S = chunk
+    b = pl.program_id(1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        h_ref[b] = jnp.zeros_like(h_ref[b])
+
+    TILE = _pick_tile(S)
+    ntiles = S // TILE
+    local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) % TILE
+
+    t = x_ref[0, :, 0, :, :]  # [s, W2, 2D] or [H2, s, 2D]
+    if col_major:
+        t = jnp.swapaxes(t, 0, 1)  # -> [s, H2, 2D] (w-major sequence)
+    pair = t.reshape(S, 2 * D)
+
+    for j in (0, 1):
+        x_io = pair[:, j * D : (j + 1) * D]  # lane-aligned static slice
+        u = x_io.astype(jnp.float32)
+        dl_raw = (
+            jax.lax.dot_general(
+                x_io, wd_ref[0, j].astype(x_io.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bias_ref[0, j]
+        )
+        dl = jax.nn.softplus(dl_raw) if softplus else dl_raw
+        bmat = jnp.swapaxes(
+            jax.lax.dot_general(
+                x_io, wb_ref[0, j].astype(x_io.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ), 0, 1,
+        )[:, :, None]
+        cmat = jnp.swapaxes(
+            jax.lax.dot_general(
+                x_io, wc_ref[0, j].astype(x_io.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ), 0, 1,
+        )[:, :, None]
+        a_g = a_ref[0, j]
+
+        abar = jnp.exp(dl[None, :, :] * a_g[:, None, :])
+        bbar = (dl * u)[None, :, :] * bmat
+        a_sc, b_sc = _tile_scan(abar, bbar, TILE, local_idx)
+        h_all, carry = _resolve_tiles(a_sc, b_sc, h_ref[b, j], TILE, ntiles)
+        y = jnp.sum(h_all * cmat, axis=0) + d_ref[0, j] * u
+        y_ref[0, j] = y.reshape(y_ref.shape[2:]).astype(y_ref.dtype)
+        h_ref[b, j] = carry
+
+
+def _image_call(x5, w_delta, w_b, w_c, a_k, d_k, bias_k, *, col_major: bool,
+                softplus: bool):
+    """One orientation (both pixel-parity directions).
+    x5: [B, H2, 2, W2, 2*D] (pixel-pair dim merged into lanes);
+    weights stacked per orientation, e.g. w_delta [2, D, D].
+    Returns [B, 2, L, D] sequences in that orientation's layout."""
+    B, H2, _, W2, DD = x5.shape
+    D = DD // 2
+    N = a_k.shape[1]  # a_k is [2, N, D]
+    L = H2 * W2
+    minor = H2 if col_major else W2
+    major = W2 if col_major else H2
+    target = _pick_chunk(2 * B, D, N, L)
+    s = max(1, min(major, target // max(minor, 1)))
+    while major % s:
+        s -= 1
+    S = s * minor
+    C = major // s
+
+    if col_major:
+        x_spec = pl.BlockSpec(
+            (1, H2, 1, s, 2 * D), lambda c, b: (b, 0, 1, c, 0),
+            memory_space=pltpu.VMEM,
+        )
+        y_shape = (B, 2, W2, H2, D)
+        y_spec = pl.BlockSpec(
+            (1, 2, s, H2, D), lambda c, b: (b, 0, c, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        x_spec = pl.BlockSpec(
+            (1, s, 1, W2, 2 * D), lambda c, b: (b, c, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        y_shape = (B, 2, H2, W2, D)
+        y_spec = pl.BlockSpec(
+            (1, 2, s, W2, D), lambda c, b: (b, 0, c, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    per_k = lambda *dims: pl.BlockSpec(
+        (1, 2) + dims, lambda c, b: (0, 0) + (0,) * len(dims),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _scan_kernel_image, chunk=S, softplus=softplus, col_major=col_major,
+        D=D,
+    )
+    y = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        grid=(C, B),
+        in_specs=[
+            x_spec,
+            per_k(D, D), per_k(D, N), per_k(D, N),
+            per_k(N, D), per_k(1, D), per_k(1, D),
+        ],
+        out_specs=y_spec,
+        out_shape=jax.ShapeDtypeStruct(y_shape, x5.dtype),
+        scratch_shapes=[pltpu.VMEM((B, 2, N, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(60 * B * L * N * D + 4 * B * L * D * (D + 2 * N)),
+            bytes_accessed=3 * B * L * D * 2 * x5.dtype.itemsize,
+            transcendentals=2 * B * L * N * D,
+        ),
+    )(
+        x5, w_delta[None], w_b[None], w_c[None], a_k[None], d_k[None],
+        bias_k[None],
+    )
+    return y.reshape(B, 2, L, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _scan_image(x, w_delta, w_b, w_c, A, Dskip, delta_bias, delta_softplus):
+    B, H, W, D = x.shape
+    # pixel-pair dim merged into lanes: free view, lane-aligned splits
+    x5 = x.reshape(B, H // 2, 2, W // 2, 2 * D)
+    a_k = jnp.transpose(A.astype(jnp.float32), (0, 2, 1))  # [K, N, D]
+    d_k = Dskip.astype(jnp.float32)[:, None, :]
+    bias_k = delta_bias.astype(jnp.float32)[:, None, :]
+    rows_idx = jnp.asarray([0, 2])  # dirs (pi=0): row-major
+    cols_idx = jnp.asarray([1, 3])  # dirs (pi=1): column-major
+    pick = lambda w, idx: w[idx]
+    ys_rows = _image_call(
+        x5, pick(w_delta, rows_idx), pick(w_b, rows_idx),
+        pick(w_c, rows_idx), pick(a_k, rows_idx), pick(d_k, rows_idx),
+        pick(bias_k, rows_idx), col_major=False, softplus=delta_softplus,
+    )
+    ys_cols = _image_call(
+        x5, pick(w_delta, cols_idx), pick(w_b, cols_idx),
+        pick(w_c, cols_idx), pick(a_k, cols_idx), pick(d_k, cols_idx),
+        pick(bias_k, cols_idx), col_major=True, softplus=delta_softplus,
+    )
+    return ys_rows, ys_cols
+
+
+def _scan_image_fwd(x, w_delta, w_b, w_c, A, Dskip, delta_bias,
+                    delta_softplus):
+    out = _scan_image(x, w_delta, w_b, w_c, A, Dskip, delta_bias,
+                      delta_softplus)
+    return out, (x, w_delta, w_b, w_c, A, Dskip, delta_bias)
+
+
+def _scan_image_bwd(delta_softplus, residuals, g):
+    """Training path: rematerialize the decimated layout + projections and
+    reuse the [B,K,L,D] Pallas backward; the pixel gradient reassembles via
+    the (bijective) EfficientMerge permutation."""
+    from founddiff_tpu.ops.selective_scan import efficient_merge, efficient_scan
+
+    x, w_delta, w_b, w_c, A, Dskip, delta_bias = residuals
+    g_rows, g_cols = g
+    B, H, W, D = x.shape
+    xs = efficient_scan(x, 2)  # [B, 4, L, D]
+    g_all = jnp.stack(
+        [g_rows[:, 0], g_cols[:, 0], g_rows[:, 1], g_cols[:, 1]], axis=1
+    )
+    delta = jnp.einsum("bkld,kde->bkle", xs, w_delta.astype(xs.dtype))
+    Bmat = jnp.einsum("bkld,kdn->bkln", xs, w_b.astype(xs.dtype))
+    Cmat = jnp.einsum("bkld,kdn->bkln", xs, w_c.astype(xs.dtype))
+    _, _, h_bounds = _pallas_fwd(xs, delta, A, Bmat, Cmat, Dskip, delta_bias,
+                                 delta_softplus)
+    gu, gdl, ga, gb, gc, gd, gbias = _pallas_bwd(
+        xs, delta, A, Bmat, Cmat, Dskip, delta_bias, h_bounds, g_all,
+        delta_softplus,
+    )
+    gxs = (
+        gu
+        + jnp.einsum("bkle,kde->bkld", gdl, w_delta.astype(gdl.dtype))
+        + jnp.einsum("bkln,kdn->bkld", gb, w_b.astype(gb.dtype))
+        + jnp.einsum("bkln,kdn->bkld", gc, w_c.astype(gc.dtype))
+    )
+    gx = efficient_merge(gxs, H, W, 2).astype(x.dtype)
+    gwd = jnp.einsum("bkld,bkle->kde", xs, gdl).astype(w_delta.dtype)
+    gwb = jnp.einsum("bkld,bkln->kdn", xs, gb).astype(w_b.dtype)
+    gwc = jnp.einsum("bkld,bkln->kdn", xs, gc).astype(w_c.dtype)
+    return gx, gwd, gwb, gwc, ga, gd, gbias
+
+
+_scan_image.defvjp(_scan_image_fwd, _scan_image_bwd)
+
+
+def selective_scan_image(
+    x, x_proj_weight, dt_projs_weight, A, Dskip, delta_bias,
+    dt_rank: int, d_state: int, delta_softplus: bool = True,
+):
+    """SS2D core straight from the NHWC image: decimation happens in the
+    kernels' block DMA, never in HBM.  x: [B, H, W, D] (even H, W).
+    Returns (ys_rows [B,2,L,D] dirs (0,2), ys_cols [B,2,L,D] dirs (1,3))
+    in the layouts :func:`founddiff_tpu.ops.ss2d_fused.merge_ln_gate_split`
+    consumes."""
+    R, N = dt_rank, d_state
+    wx = x_proj_weight
+    w_delta = jnp.einsum("krd,ker->kde", wx[:, :R, :], dt_projs_weight)
+    w_b = jnp.transpose(wx[:, R : R + N, :], (0, 2, 1))
+    w_c = jnp.transpose(wx[:, R + N : R + 2 * N, :], (0, 2, 1))
+    return _scan_image(
+        x, w_delta.astype(x.dtype), w_b.astype(x.dtype), w_c.astype(x.dtype),
+        A, Dskip, delta_bias, delta_softplus,
+    )
+
+
 _BWD_IMPL = "pallas"  # 'pallas' | 'xla' (chunked remat fallback)
 
 

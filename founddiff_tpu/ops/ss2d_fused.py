@@ -44,27 +44,33 @@ def _epilogue_kernel(d0_ref, d1_ref, d2_ref, d3_ref, z_ref, g_ref, b_ref,
     g = g_ref[0].astype(jnp.float32)
     b = b_ref[0].astype(jnp.float32)
     loc = loc_ref[0, 0].astype(jnp.float32) if has_local else None
-    tiles = (
-        (d0_ref, False, 0, 0),
-        (d1_ref, True, 1, 0),
-        (d2_ref, False, 0, 1),
-        (d3_ref, True, 1, 1),
-    )
-    for ref, transposed, pi, pj in tiles:
+
+    def ln(ref, transposed):
         t = ref[0, 0]
         if transposed:
             t = jnp.swapaxes(t, 0, 1)  # [W2, bh, C] -> [bh, W2, C]
         tf = t.astype(jnp.float32)
         mean = jnp.mean(tf, axis=-1, keepdims=True)
         var = jnp.mean(tf * tf, axis=-1, keepdims=True) - mean * mean
-        yn = (tf - mean) * jax.lax.rsqrt(var + eps) * g + b
-        zt = z_ref[0, :, pi, :, pj, :].astype(jnp.float32)
-        if gate_silu:
-            zt = zt * jax.nn.sigmoid(zt)  # silu folded in (one less pass)
-        out = yn * zt
-        if has_local:
-            out = out + loc
-        o_ref[0, :, pi, :, pj, :] = out.astype(o_ref.dtype)
+        return (tf - mean) * jax.lax.rsqrt(var + eps) * g + b
+
+    d0n, d1n = ln(d0_ref, False), ln(d1_ref, True)
+    d2n, d3n = ln(d2_ref, False), ln(d3_ref, True)
+    # interleave in registers: [bh, 2, W2, 2, C] == a contiguous
+    # [2bh, W, C] row band (reference merge src/emamba2.py:245-253)
+    bh, W2, C = d0n.shape
+    row_even = jnp.stack([d0n, d2n], axis=2)  # j-parity
+    row_odd = jnp.stack([d1n, d3n], axis=2)
+    y = jnp.stack([row_even, row_odd], axis=1)  # i-parity
+    y = y.reshape(2 * bh, 2 * W2, C)
+
+    zt = z_ref[0].astype(jnp.float32)  # contiguous [2bh, W, C]
+    if gate_silu:
+        zt = zt * jax.nn.sigmoid(zt)  # silu folded in (one less pass)
+    out = y * zt
+    if has_local:
+        out = out + loc
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _merge_ln_gate_xla(ys, z, scale, bias, local, H, W, eps,
@@ -99,15 +105,17 @@ def _pick_bh(H2: int, W2: int, C: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "eps", "has_local",
-                                             "gate_silu"))
-def _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local, gate_silu):
-    B, K, L, C = ys.shape
+                                             "gate_silu", "row_dirs",
+                                             "col_dirs"))
+def _fused_fwd(ys_rows, ys_cols, z, scale, bias, local, H, W, eps, has_local,
+               gate_silu, row_dirs=(0, 2), col_dirs=(1, 3)):
+    """ys_rows: [B, *, H2, W2, C] (row-major dirs at indices ``row_dirs``);
+    ys_cols: [B, *, W2, H2, C] (column-major dirs at ``col_dirs``)."""
+    B = z.shape[0]
+    C = z.shape[-1]
     H2, W2 = H // 2, W // 2
     bh = _pick_bh(H2, W2, C)
 
-    ys_rows = ys.reshape(B, K, H2, W2, C)
-    ys_cols = ys.reshape(B, K, W2, H2, C)
-    z6 = z.reshape(B, H2, 2, W2, 2, C)
     loc = (local if has_local else jnp.zeros((B, C), z.dtype)).reshape(B, 1, C)
 
     row_spec = lambda d: pl.BlockSpec(
@@ -118,8 +126,10 @@ def _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local, gate_silu):
         (1, 1, W2, bh, C), lambda b, h: (b, d, 0, h, 0),
         memory_space=pltpu.VMEM,
     )
-    z_spec = pl.BlockSpec(
-        (1, bh, 2, W2, 2, C), lambda b, h: (b, h, 0, 0, 0, 0),
+    # z / out ride CONTIGUOUS [2bh, W, C] row bands of the image — the
+    # interleave is assembled in registers inside the kernel
+    img_spec = pl.BlockSpec(
+        (1, 2 * bh, W, C), lambda b, h: (b, h, 0, 0),
         memory_space=pltpu.VMEM,
     )
     vec_spec = pl.BlockSpec((1, C), lambda b, h: (0, 0),
@@ -133,36 +143,46 @@ def _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local, gate_silu):
         interpret=jax.default_backend() != "tpu",
         grid=(B, H2 // bh),
         in_specs=[
-            row_spec(0), col_spec(1), row_spec(2), col_spec(3),
-            z_spec, vec_spec, vec_spec, loc_spec,
+            row_spec(row_dirs[0]), col_spec(col_dirs[0]),
+            row_spec(row_dirs[1]), col_spec(col_dirs[1]),
+            img_spec, vec_spec, vec_spec, loc_spec,
         ],
-        out_specs=z_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H2, 2, W2, 2, C), z.dtype),
+        out_specs=img_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), z.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=14 * B * H * W * C,
-            bytes_accessed=3 * B * H * W * C * ys.dtype.itemsize,
+            bytes_accessed=3 * B * H * W * C * z.dtype.itemsize,
             transcendentals=0,
         ),
     )(
         ys_rows, ys_cols, ys_rows, ys_cols,
-        z6, scale.reshape(1, C), bias.reshape(1, C), loc,
+        z, scale.reshape(1, C), bias.reshape(1, C), loc,
     )
-    return out.reshape(B, H, W, C)
+    return out
+
+
+def _split_views(ys, H, W):
+    B, K, L, C = ys.shape
+    return ys.reshape(B, K, H // 2, W // 2, C), ys.reshape(
+        B, K, W // 2, H // 2, C
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _merge_ln_gate(ys, z, scale, bias, local, H, W, eps, has_local,
                    gate_silu):
-    return _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local,
-                      gate_silu)
+    rows, cols = _split_views(ys, H, W)
+    return _fused_fwd(rows, cols, z, scale, bias, local, H, W, eps,
+                      has_local, gate_silu)
 
 
 def _mlg_fwd(ys, z, scale, bias, local, H, W, eps, has_local, gate_silu):
+    rows, cols = _split_views(ys, H, W)
     return (
-        _fused_fwd(ys, z, scale, bias, local, H, W, eps, has_local,
+        _fused_fwd(rows, cols, z, scale, bias, local, H, W, eps, has_local,
                    gate_silu),
         (ys, z, scale, bias, local),
     )
@@ -209,3 +229,69 @@ def merge_ln_gate(
         local = jnp.zeros((z.shape[0], z.shape[-1]), z.dtype)
     return _merge_ln_gate(ys, z, scale, bias, local, H, W, eps, has_local,
                           gate_silu)
+
+
+# ---------------------------------------------------------------------------
+# Split-input variant: consumes the image-direct scan outputs
+# (founddiff_tpu.ops.scan_pallas.selective_scan_image) without ever forming
+# the joint [B, 4, L, C] array.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _merge_ln_gate_split(ys_rows, ys_cols, z, scale, bias, local, H, W, eps,
+                         has_local, gate_silu):
+    B = z.shape[0]
+    C = z.shape[-1]
+    rows = ys_rows.reshape(B, 2, H // 2, W // 2, C)
+    cols = ys_cols.reshape(B, 2, W // 2, H // 2, C)
+    return _fused_fwd(rows, cols, z, scale, bias, local, H, W, eps,
+                      has_local, gate_silu, row_dirs=(0, 1), col_dirs=(0, 1))
+
+
+def _mlgs_fwd(ys_rows, ys_cols, z, scale, bias, local, H, W, eps, has_local,
+              gate_silu):
+    out = _merge_ln_gate_split(ys_rows, ys_cols, z, scale, bias, local, H, W,
+                               eps, has_local, gate_silu)
+    return out, (ys_rows, ys_cols, z, scale, bias, local)
+
+
+def _mlgs_bwd(H, W, eps, has_local, gate_silu, res, g):
+    ys_rows, ys_cols, z, scale, bias, local = res
+
+    def f(r_, c_, z_, scale_, bias_, local_):
+        ys = jnp.stack([r_[:, 0], c_[:, 0], r_[:, 1], c_[:, 1]], axis=1)
+        return _merge_ln_gate_xla(
+            ys, z_, scale_, bias_, local_ if has_local else None, H, W, eps,
+            gate_silu=gate_silu,
+        )
+
+    _, vjp = jax.vjp(f, ys_rows, ys_cols, z, scale, bias, local)
+    return vjp(g)
+
+
+_merge_ln_gate_split.defvjp(_mlgs_fwd, _mlgs_bwd)
+
+
+def merge_ln_gate_split(
+    ys_rows: jnp.ndarray,
+    ys_cols: jnp.ndarray,
+    z: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    local: Optional[jnp.ndarray] = None,
+    *,
+    H: int,
+    W: int,
+    eps: float = 1e-5,
+    gate_silu: bool = False,
+) -> jnp.ndarray:
+    """Like :func:`merge_ln_gate` but takes the row-major dirs (0, 2) as
+    ``ys_rows`` [B, 2, L, C] and the column-major dirs (1, 3) as ``ys_cols``
+    [B, 2, L, C] (w-major layout), as produced by ``selective_scan_image``."""
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    has_local = local is not None
+    if local is None:
+        local = jnp.zeros((z.shape[0], z.shape[-1]), z.dtype)
+    return _merge_ln_gate_split(ys_rows, ys_cols, z, scale, bias, local,
+                                H, W, eps, has_local, gate_silu)
