@@ -148,22 +148,40 @@ class SS2D(nn.Module):
         xs = nn.silu(xs)
 
         if fuse_epilogue:
-            # image-direct path: decimation rides the scan kernels' block
-            # DMA; merge+LN+silu-gate+cond fuse into the epilogue kernel
-            from founddiff_tpu.ops.scan_pallas import selective_scan_image
-            from founddiff_tpu.ops.ss2d_fused import merge_ln_gate_split
+            from founddiff_tpu.ops.scan_pallas import (
+                image_scan_vmem_ok,
+                selective_scan_image,
+            )
+            from founddiff_tpu.ops.ss2d_fused import (
+                merge_ln_gate,
+                merge_ln_gate_split,
+            )
 
-            xw, dtw, dt_bias, A_logs, Ds = self._scan_params(d_inner, R, N, K)
-            ys_rows, ys_cols = selective_scan_image(
-                xs, xw, dtw, -jnp.exp(A_logs), Ds, dt_bias,
-                dt_rank=R, d_state=N, delta_softplus=True,
-            )
             ln_scale, ln_bias = _AffineParams(d_inner, name="out_norm")()
-            y = merge_ln_gate_split(
-                ys_rows, ys_cols, z, ln_scale, ln_bias,
-                local[:, 0] if c is not None else None,
-                H=H, W=W, eps=1e-5, gate_silu=True,
-            )
+            cond_local = local[:, 0] if c is not None else None
+            if image_scan_vmem_ok(H, W, d_inner, N):
+                # image-direct path: decimation rides the scan kernels'
+                # block DMA; merge+LN+silu-gate+cond fuse into the epilogue
+                xw, dtw, dt_bias, A_logs, Ds = self._scan_params(
+                    d_inner, R, N, K
+                )
+                ys_rows, ys_cols = selective_scan_image(
+                    xs, xw, dtw, -jnp.exp(A_logs), Ds, dt_bias,
+                    dt_rank=R, d_state=N, delta_softplus=True,
+                )
+                y = merge_ln_gate_split(
+                    ys_rows, ys_cols, z, ln_scale, ln_bias, cond_local,
+                    H=H, W=W, eps=1e-5, gate_silu=True,
+                )
+            else:
+                # deep scales: decimated fused kernel + joint epilogue
+                ys = self._scan_core(
+                    xs, H, W, d_inner, R, N, K, impl=impl, merge=False
+                )
+                y = merge_ln_gate(
+                    ys, z, ln_scale, ln_bias, cond_local,
+                    H=H, W=W, eps=1e-5, gate_silu=True,
+                )
         else:
             ys = self._scan_core(xs, H, W, d_inner, R, N, K, impl=impl)
             y = LNorm(d_inner, eps=1e-5, name="out_norm")(ys)

@@ -847,6 +847,12 @@ def _image_call(x5, w_delta, w_b, w_c, a_k, d_k, bias_k, *, col_major: bool,
     s = max(1, min(major, target // max(minor, 1)))
     while major % s:
         s -= 1
+    if col_major and s % 8 and s != major:
+        # Mosaic: the col block's second-minor dim (s) must be a multiple
+        # of 8 (or the full dim); callers gate on the implied VMEM
+        s = major if major < 8 else 8
+        while major % s:
+            s //= 2
     S = s * minor
     C = major // s
 
@@ -973,6 +979,14 @@ def _scan_image_bwd(delta_softplus, residuals, g):
 
 
 _scan_image.defvjp(_scan_image_fwd, _scan_image_bwd)
+
+
+def image_scan_vmem_ok(H: int, W: int, d_inner: int, d_state: int) -> bool:
+    """Whether the column-orientation chunk (>= 8 W-columns, Mosaic sublane
+    rule) fits the VMEM budget at this scale; deeper UNet scales fall back
+    to the decimate + [B,K,L,D] fused kernel."""
+    S = max(8, min(8, W // 2)) * (H // 2)
+    return 4 * d_state * S * d_inner * 4 <= 72 * 1024 * 1024
 
 
 def selective_scan_image(

@@ -94,13 +94,18 @@ def _merge_ln_gate_xla(ys, z, scale, bias, local, H, W, eps,
 
 
 def _pick_bh(H2: int, W2: int, C: int) -> int:
-    # ~8 live fp32 copies of a [bh, W2, C] tile through the per-direction
-    # LN chain, plus the [bh, 2, W2, 2, C] io blocks (double-buffered)
-    budget = 12 * 1024 * 1024
-    bh = max(8, budget // max(24 * W2 * C * 4, 1))
+    # ~10 live fp32 copies of a [2bh, W, C] tile through the assembly chain;
+    # Mosaic needs the col input block's second-minor (bh) to be a multiple
+    # of 8 or the full H2
+    budget = 24 * 1024 * 1024
+    bh = max(8, budget // max(80 * W2 * C * 4, 1))
     bh = min(bh, H2)
     while H2 % bh:
         bh -= 1
+    if bh % 8 and bh != H2:
+        bh = H2 if H2 < 8 else 8
+        while H2 % bh:
+            bh //= 2
     return max(bh, 1)
 
 
