@@ -86,7 +86,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
     def _finish():
         l = jnp.maximum(l_ref[:, :1], 1e-30)
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:, :1] + jnp.log(l)).reshape(1, -1)
+        lse_ref[0, 0] = jnp.broadcast_to(
+            (m_ref[:, :1] + jnp.log(l)).reshape(1, -1), lse_ref.shape[2:]
+        )
 
 
 def _pad_to(x, L, axis=1):
@@ -129,12 +131,13 @@ def _flash_fwd_impl(q, k, v, scale, blk_q=256, blk_k=256):
         out_specs=(
             pl.BlockSpec((1, blk_q, d), lambda g, qi, ki: (g, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, blk_q), lambda g, qi, ki: (g, qi, 0),
+            pl.BlockSpec((1, 1, 8, blk_q), lambda g, qi, ki: (g, qi, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((G, Lqp, d), q.dtype),
-            jax.ShapeDtypeStruct((G, nq, blk_q), jnp.float32),
+            # 8 sublane-padded copies (Mosaic block-shape rule); row 0 used
+            jax.ShapeDtypeStruct((G, nq, 8, blk_q), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((blk_q, d), jnp.float32),
@@ -170,8 +173,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0][:, None]  # [BQ, 1]
-    dcap = dcap_ref[0, 0][:, None]
+    lse = lse_ref[0, 0, 0][:, None]  # [BQ, 1]
+    dcap = dcap_ref[0, 0, 0][:, None]
 
     s = scale * jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -212,8 +215,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0][:, None]
-    dcap = dcap_ref[0, 0][:, None]
+    lse = lse_ref[0, 0, 0][:, None]
+    dcap = dcap_ref[0, 0, 0][:, None]
 
     s = scale * jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -259,13 +262,14 @@ def _flash_bwd_impl(q, k, v, o, lse, do, scale, blk_q, blk_k):
     dcap = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     ).reshape(G, Lq)
-    dcap = _pad_to(dcap, Lqp, axis=1).reshape(G, nq, blk_q)
+    dcap = _pad_to(dcap, Lqp, axis=1).reshape(G, nq, 1, blk_q)
+    dcap = jnp.broadcast_to(dcap, (G, nq, 8, blk_q))
 
     spec_q = pl.BlockSpec((1, blk_q, d), lambda g, qi, ki: (g, qi, 0),
                           memory_space=pltpu.VMEM)
     spec_k = pl.BlockSpec((1, blk_k, d), lambda g, qi, ki: (g, ki, 0),
                           memory_space=pltpu.VMEM)
-    spec_row = pl.BlockSpec((1, 1, blk_q), lambda g, qi, ki: (g, qi, 0),
+    spec_row = pl.BlockSpec((1, 1, 8, blk_q), lambda g, qi, ki: (g, qi, 0, 0),
                             memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
@@ -284,7 +288,7 @@ def _flash_bwd_impl(q, k, v, o, lse, do, scale, blk_q, blk_k):
                            memory_space=pltpu.VMEM)
     spec_k2 = pl.BlockSpec((1, blk_k, d), lambda g, ki, qi: (g, ki, 0),
                            memory_space=pltpu.VMEM)
-    spec_row2 = pl.BlockSpec((1, 1, blk_q), lambda g, ki, qi: (g, qi, 0),
+    spec_row2 = pl.BlockSpec((1, 1, 8, blk_q), lambda g, ki, qi: (g, qi, 0, 0),
                              memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=Lk,

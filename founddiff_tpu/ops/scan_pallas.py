@@ -986,7 +986,9 @@ def image_scan_vmem_ok(H: int, W: int, d_inner: int, d_state: int) -> bool:
     rule) fits the VMEM budget at this scale; deeper UNet scales fall back
     to the decimate + [B,K,L,D] fused kernel."""
     S = max(8, min(8, W // 2)) * (H // 2)
-    return 4 * d_state * S * d_inner * 4 <= 72 * 1024 * 1024
+    # measured scoped usage runs ~1.3x this estimate; keep well under the
+    # 64 MB kernel limit
+    return 4 * d_state * S * d_inner * 4 <= 40 * 1024 * 1024
 
 
 def selective_scan_image(
