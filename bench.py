@@ -44,10 +44,10 @@ def main() -> None:
     enable_compilation_cache()
     size = int(os.environ.get("BENCH_SIZE", 512))
     steps = int(os.environ.get("BENCH_STEPS", 50))
-    # throughput metric: serve device-batched waves (8 amortizes small-op
+    # throughput metric: serve device-batched waves (16 amortizes small-op
     # overheads on one chip; BENCH_BATCH=1 measures latency-style)
-    batch = int(os.environ.get("BENCH_BATCH", 8))
-    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    batch = int(os.environ.get("BENCH_BATCH", 16))
+    repeats = int(os.environ.get("BENCH_REPEATS", 2))
     dtype = (
         jnp.float32
         if os.environ.get("BENCH_DTYPE") == "float32"
