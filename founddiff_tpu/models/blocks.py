@@ -309,18 +309,15 @@ class ChannelAttention(nn.Module):
         return x * nn.sigmoid(y)
 
 
-class _ProjKernel(nn.Module):
-    """Bare 1x1-conv kernel param (path ``<name>/kernel`` stays converter-
-    compatible with the reference's ``project_out`` Conv2d)."""
+class _ConvKernel(nn.Module):
+    """Bare conv kernel param (path ``<name>/kernel`` stays converter-
+    compatible with the reference Conv2d modules)."""
 
-    dim: int
+    shape: Tuple[int, ...]
 
     @nn.compact
     def __call__(self):
-        return self.param(
-            "kernel", torch_kernel_init, (1, 1, self.dim, self.dim),
-            jnp.float32,
-        )
+        return self.param("kernel", torch_kernel_init, self.shape, jnp.float32)
 
 
 class TransposedAttention(nn.Module):
@@ -339,14 +336,22 @@ class TransposedAttention(nn.Module):
         temperature = self.param(
             "temperature", nn.initializers.ones, (self.heads, 1, 1), jnp.float32
         )
-        qkv = conv2d(self.dim * 3, 1, use_bias=self.use_bias, name="qkv")(x)
-        qkv = conv2d(
-            self.dim * 3,
-            3,
-            use_bias=self.use_bias,
-            feature_group_count=self.dim * 3,
-            name="qkv_dwconv",
-        )(qkv)
+        assert not self.use_bias, "reference TransposedAttention has no bias"
+        # the qkv 1x1 conv and the depthwise 3x3 keep their reference param
+        # layout, but the q/k vs v SPLIT happens on the (tiny) WEIGHTS, not
+        # the activations — no big output slices/relayouts downstream
+        qkv_w = _ConvKernel((1, 1, C, 3 * C), name="qkv")()[0, 0]
+        dw_w = _ConvKernel((3, 3, 1, 3 * C), name="qkv_dwconv")()
+        dn = ("NHWC", "HWIO", "NHWC")
+
+        def pipe(lo, hi):
+            u = jnp.einsum(
+                "bhwc,ce->bhwe", x, qkv_w[:, lo:hi].astype(x.dtype)
+            )
+            return jax.lax.conv_general_dilated(
+                u, dw_w[..., lo:hi].astype(x.dtype), (1, 1), "SAME",
+                dimension_numbers=dn, feature_group_count=hi - lo,
+            )
 
         # One flat Gram matmul over [q; k] yields the q.k^T attention logits
         # AND both L2 norms (diagonals) in a single pass over HBM — no qkv
@@ -354,7 +359,7 @@ class TransposedAttention(nn.Module):
         # [B, 2C, 2C] Gram includes cross-head blocks (discarded; the extra
         # MXU FLOPs are negligible next to the saved passes).  Math identical
         # to the reference chain (src/DADiff.py:266-281).
-        qk = qkv[..., : 2 * C].reshape(B, H * W, 2 * C)
+        qk = pipe(0, 2 * C).reshape(B, H * W, 2 * C)
         G = jnp.einsum(
             "blc,bld->bcd", qk, qk, preferred_element_type=jnp.float32
         )  # [B, 2C, 2C]
@@ -374,11 +379,11 @@ class TransposedAttention(nn.Module):
 
         # fold project_out into the attention: out_px = P (blockdiag(attn) v_px)
         # == v_px @ M_b with a per-batch [C, C] matrix — one pixel pass total
-        proj_kernel = _ProjKernel(self.dim, name="project_out")()
+        proj_kernel = _ConvKernel((1, 1, C, C), name="project_out")()
         pk = proj_kernel[0, 0].reshape(hd, ch, C)  # [(h c), C] -> [h, c, C]
         M = jnp.einsum("hce,bhcd->bhde", pk.astype(jnp.float32), attn)
         M = M.reshape(B, C, C).astype(x.dtype)
-        v = qkv[..., 2 * C :].reshape(B, H * W, C)
+        v = pipe(2 * C, 3 * C).reshape(B, H * W, C)
         out = jnp.einsum(
             "blf,bfe->ble", v, M, preferred_element_type=jnp.float32
         ).astype(x.dtype)

@@ -318,7 +318,13 @@ class MambaBlock(nn.Module):
             mod(nn.silu(t)), 6, axis=-1
         )
 
-        x1 = LNorm(h, eps=1e-5, name="norm1")(x)
+        # LN + adaLN modulation fused in one pass (kernel in norm_pallas)
+        from founddiff_tpu.ops.norm_pallas import layer_norm_modulated
+
+        n1_scale, n1_bias = _AffineParams(h, name="norm1")()
+        x1 = layer_norm_modulated(
+            x, n1_scale, n1_bias, scale_msa, shift_msa, eps=1e-5
+        )
         x = x + gate_msa[:, None, None, :] * SS2D(
             d_model=h,
             d_state=self.d_state,
@@ -326,10 +332,11 @@ class MambaBlock(nn.Module):
             dropout=self.dropout,
             scan_impl=self.scan_impl,
             name="mamba",
-        )(modulate(x1, shift_msa, scale_msa), c, deterministic=deterministic)
+        )(x1, c, deterministic=deterministic)
 
-        x2 = LNorm(h, eps=1e-6, use_affine=False, name="norm2")(x)
-        x2 = modulate(x2, shift_mlp, scale_mlp)
+        x2 = layer_norm_modulated(
+            x, None, None, scale_mlp, shift_mlp, eps=1e-6
+        )
         if self.cross:
             attn_out = CrossAttention(query_dim=h, name="attn_blk")(
                 x2, c, deterministic=deterministic

@@ -106,3 +106,109 @@ def layer_norm(
     x2d = x.reshape(-1, shape[-1])
     out = _fused_ln(x2d, scale, bias, eps)
     return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm + adaLN modulation fused: modulate(LN(x), shift_b, scale_b)
+# = LN(x) * (1 + scale_b) + shift_b (reference `modulate`
+# src/DADiff.py:450-451 applied to norm1/norm2 outputs in Mamba_block
+# :478-486) — one HBM pass instead of LN + a separate modulate fusion.
+# ---------------------------------------------------------------------------
+
+
+def _ln_mod_kernel(x_ref, g_ref, b_ref, ms_ref, mt_ref, o_ref, *, eps: float,
+                   has_affine: bool):
+    x = x_ref[0].astype(jnp.float32)  # [R, C]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    if has_affine:
+        y = y * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    y = y * (1.0 + ms_ref[0].astype(jnp.float32)) + mt_ref[0].astype(
+        jnp.float32
+    )
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _ln_mod_forward(x3d, scale, bias, mod_scale, mod_shift, eps):
+    B, R, C = x3d.shape
+    blk = max(256, min(2048, (2 * 1024 * 1024) // (C * 4)))
+    blk = min(blk, R)
+    pad = (-R) % blk
+    if pad:
+        x3d = jnp.pad(x3d, ((0, 0), (0, pad), (0, 0)))
+    Rp = R + pad
+    has_affine = scale is not None
+    g = (scale if has_affine else jnp.zeros((C,), x3d.dtype)).reshape(1, C)
+    b = (bias if has_affine else jnp.zeros((C,), x3d.dtype)).reshape(1, C)
+    kernel = functools.partial(_ln_mod_kernel, eps=eps, has_affine=has_affine)
+    vec = pl.BlockSpec((1, C), lambda bi, i: (0, 0), memory_space=pltpu.VMEM)
+    bvec = pl.BlockSpec((1, C), lambda bi, i: (bi, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() != "tpu",
+        grid=(B, Rp // blk),
+        in_specs=[
+            pl.BlockSpec((1, blk, C), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            vec, vec, bvec, bvec,
+        ],
+        out_specs=pl.BlockSpec((1, blk, C), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Rp, C), x3d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * Rp * C,
+            bytes_accessed=2 * B * Rp * C * x3d.dtype.itemsize,
+            transcendentals=B * Rp,
+        ),
+    )(x3d, g, b, mod_scale, mod_shift)
+    return out[:, :R]
+
+
+def _xla_ln_mod(x3d, scale, bias, mod_scale, mod_shift, eps):
+    y = _xla_layer_norm(x3d, scale, bias, eps).astype(jnp.float32)
+    y = y * (1.0 + mod_scale[:, None, :].astype(jnp.float32)) + mod_shift[
+        :, None, :
+    ].astype(jnp.float32)
+    return y.astype(x3d.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_ln_mod(x3d, scale, bias, mod_scale, mod_shift, eps):
+    return _ln_mod_forward(x3d, scale, bias, mod_scale, mod_shift, eps)
+
+
+def _fused_ln_mod_fwd(x3d, scale, bias, mod_scale, mod_shift, eps):
+    return (
+        _ln_mod_forward(x3d, scale, bias, mod_scale, mod_shift, eps),
+        (x3d, scale, bias, mod_scale, mod_shift),
+    )
+
+
+def _fused_ln_mod_bwd(eps, res, g):
+    x3d, scale, bias, mod_scale, mod_shift = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_, ms_, mt_: _xla_ln_mod(x_, s_, b_, ms_, mt_, eps),
+        x3d, scale, bias, mod_scale, mod_shift,
+    )
+    return vjp(g)
+
+
+_fused_ln_mod.defvjp(_fused_ln_mod_fwd, _fused_ln_mod_bwd)
+
+
+def layer_norm_modulated(
+    x: jnp.ndarray,
+    scale: Optional[jnp.ndarray],
+    bias: Optional[jnp.ndarray],
+    mod_scale: jnp.ndarray,
+    mod_shift: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """``modulate(LayerNorm(x))`` fused: x [B, ..., C];
+    mod_scale/mod_shift [B, C] (adaLN chunks)."""
+    shape = x.shape
+    x3d = x.reshape(shape[0], -1, shape[-1])
+    out = _fused_ln_mod(x3d, scale, bias, mod_scale, mod_shift, eps)
+    return out.reshape(shape)
