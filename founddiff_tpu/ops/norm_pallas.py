@@ -124,7 +124,7 @@ def _ln_mod_kernel(x_ref, g_ref, b_ref, ms_ref, mt_ref, o_ref, *, eps: float,
     y = (x - mean) * jax.lax.rsqrt(var + eps)
     if has_affine:
         y = y * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
-    y = y * (1.0 + ms_ref[0].astype(jnp.float32)) + mt_ref[0].astype(
+    y = y * (1.0 + ms_ref[0, 0].astype(jnp.float32)) + mt_ref[0, 0].astype(
         jnp.float32
     )
     o_ref[0] = y.astype(o_ref.dtype)
@@ -143,7 +143,9 @@ def _ln_mod_forward(x3d, scale, bias, mod_scale, mod_shift, eps):
     b = (bias if has_affine else jnp.zeros((C,), x3d.dtype)).reshape(1, C)
     kernel = functools.partial(_ln_mod_kernel, eps=eps, has_affine=has_affine)
     vec = pl.BlockSpec((1, C), lambda bi, i: (0, 0), memory_space=pltpu.VMEM)
-    bvec = pl.BlockSpec((1, C), lambda bi, i: (bi, 0),
+    # per-batch vectors carry a dummy middle dim so the block's last two
+    # dims are (1, C) == the array dims (Mosaic block-shape rule)
+    bvec = pl.BlockSpec((1, 1, C), lambda bi, i: (bi, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
@@ -162,7 +164,7 @@ def _ln_mod_forward(x3d, scale, bias, mod_scale, mod_shift, eps):
             bytes_accessed=2 * B * Rp * C * x3d.dtype.itemsize,
             transcendentals=B * Rp,
         ),
-    )(x3d, g, b, mod_scale, mod_shift)
+    )(x3d, g, b, mod_scale[:, None, :], mod_shift[:, None, :])
     return out[:, :R]
 
 

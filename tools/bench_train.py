@@ -24,16 +24,20 @@ def main():
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--accum", type=int, default=2)
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--scan_impl", default="auto")
     p.add_argument("--tower", action="store_true",
                    help="include the frozen Dose-CLIP tower in the step")
     args = p.parse_args()
 
+    from founddiff_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     from founddiff_tpu.config import Config
     from founddiff_tpu.factory import build
     from founddiff_tpu.train import Trainer
 
     cfg = Config()
     cfg.model.use_dose_encoder = args.tower
+    cfg.model.scan_impl = args.scan_impl
     cfg.diffusion.image_size = args.size
     cfg.train.train_batch_size = args.batch
     cfg.train.gradient_accumulate_every = args.accum

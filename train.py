@@ -75,8 +75,11 @@ def build_config(opt):
     cfg.data.root = opt.data_root
     if opt.debug:
         cfg.train.save_and_sample_every = 2
-        cfg.diffusion.sampling_timesteps = 10
-        cfg.train.train_num_steps = 200
+        cfg.diffusion.sampling_timesteps = min(
+            cfg.diffusion.sampling_timesteps, 10
+        )
+        # don't clobber an explicitly shorter run
+        cfg.train.train_num_steps = min(cfg.train.train_num_steps, 200)
     return cfg
 
 
