@@ -190,7 +190,7 @@ def _scan_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref, y_ref,
     def _init():
         h_ref[g] = jnp.zeros_like(h_ref[g])
 
-    TILE = min(32, S)
+    TILE = min(8, S)
     ntiles = S // TILE
     local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) % TILE
 
@@ -344,7 +344,7 @@ def _scan_bwd_kernel(u_ref, dl_ref, b_ref, c_ref, a_ref, d_ref, bias_ref,
     def _init():
         ghz_ref[g] = jnp.zeros_like(ghz_ref[g])
 
-    TILE = min(32, S)
+    TILE = min(8, S)
     ntiles = S // TILE
     local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) % TILE
 
@@ -549,7 +549,7 @@ def _scan_kernel_fused(x_ref, wd_ref, wb_ref, wc_ref, a_ref, d_ref, bias_ref,
     def _init():
         h_ref[g] = jnp.zeros_like(h_ref[g])
 
-    TILE = min(32, S)
+    TILE = min(8, S)
     ntiles = S // TILE
     local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) % TILE
 
@@ -761,7 +761,7 @@ def selective_scan_pallas_fused(
 
 
 def _pick_tile(S: int) -> int:
-    t = min(32, S)
+    t = min(8, S)
     while S % t:
         t //= 2
     return max(t, 1)
