@@ -93,6 +93,10 @@ def main():
                         "tower (converted on the fly)")
     p.add_argument("--flax_params", default=None,
                    help="pickled flax CLIPIQA param tree")
+    p.add_argument("--bpe_path", default=os.environ.get("FOUNDDIFF_CLIP_BPE"),
+                   help="bpe_simple_vocab_16e6.txt.gz; when given, the "
+                        "prompt EOT indices are derived from the real "
+                        "tokenizer instead of the (24, 25) default")
     args = p.parse_args()
 
     from founddiff_tpu.models.clip import CLIPIQA
@@ -101,7 +105,20 @@ def main():
     gen = load_dir(args.generated_dir, args.limit)
     ref = load_dir(args.reference_dir or args.generated_dir, args.limit)
 
-    tower = CLIPIQA()
+    tower_kw = {}
+    if args.bpe_path and os.path.exists(args.bpe_path):
+        # FID itself only touches encode_image, but build the tower with the
+        # *verified* prompt EOT positions so any dose_prob use is correct too
+        from founddiff_tpu.models.tokenizer import CT_PROMPTS, ClipTokenizer
+
+        tok = ClipTokenizer(bpe_path=args.bpe_path)
+        prefix = " ".join(["X"] * 16) + " "
+        ids = tok.tokenize([prefix + p for p in CT_PROMPTS], 77)
+        eot = tuple(int(i) for i in ids.argmax(axis=-1))
+        tower_kw = dict(prompt_eot_indices=eot)
+        print(f"derived prompt EOT indices {tuple(eot)} from {args.bpe_path}",
+              file=sys.stderr)
+    tower = CLIPIQA(**tower_kw)
     params = load_extractor_params(args, tower)
     extractor = make_clip_extractor(params, tower)
     fid = compute_fid(gen, ref, extractor)

@@ -67,7 +67,10 @@ class TrainConfig:
     seed: int = 10  # train.py:27
     mixed_precision: str = "no"  # 'no' | 'bf16' (reference runs fp32)
     checkpoint_folder: str = "checkpoints/FoundDiff"
-    keep_checkpoints: int = 3
+    keep_checkpoints: int = 3  # older milestone dirs are pruned (0 = keep all)
+    # in-training FID at the periodic-eval cadence (the reference calls
+    # test(FID=True) + an external FID script, src/DADiff.py:1731-1747)
+    fid_eval: bool = True
     # optional wandb mirror of metrics.jsonl (reference src/DADiff.py:1575)
     use_wandb: bool = False
     wandb_project: str = "founddiff_tpu"

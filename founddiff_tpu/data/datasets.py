@@ -156,13 +156,23 @@ class PDFDataset:
         )
         return ndct_path
 
-    def __getitem__(self, index: int):
+    def sample_paths(self, index: int) -> List[str]:
+        """Files of sample ``index`` (Loader pool-decode protocol)."""
         ldct_path = self.ldct_paths[index]
-        ldct = _load_slice(ldct_path)
-        ndct = _load_slice(self._ndct_path(ldct_path))
+        return [ldct_path, self._ndct_path(ldct_path)]
+
+    def sample_from_arrays(self, index: int, arrays: Sequence[np.ndarray]):
+        """Build the sample from pre-decoded arrays (same order as
+        ``sample_paths``); transform RNG order matches ``__getitem__``."""
+        ldct, ndct = (a[None] if a.ndim == 2 else a for a in arrays)
         ldct = self.transforms[0](ldct)
         ndct = self.transforms[1](ndct)
         return [_to_hwc(ndct), _to_hwc(ldct)]
+
+    def __getitem__(self, index: int):
+        return self.sample_from_arrays(
+            index, [_load_slice(p) for p in self.sample_paths(index)]
+        )
 
     def load_name(self, index: int, sub_dir: bool = False) -> str:
         name = self.ldct_paths[index]
@@ -204,10 +214,19 @@ class Mayo16Dataset:
     def __len__(self) -> int:
         return len(self.q_paths)
 
-    def __getitem__(self, index: int):
-        q = self.transforms[0](_load_slice(self.q_paths[index]))
-        f = self.transforms[1](_load_slice(self.f_paths[index]))
+    def sample_paths(self, index: int) -> List[str]:
+        return [self.q_paths[index], self.f_paths[index]]
+
+    def sample_from_arrays(self, index: int, arrays: Sequence[np.ndarray]):
+        qa, fa = (a[None] if a.ndim == 2 else a for a in arrays)
+        q = self.transforms[0](qa)
+        f = self.transforms[1](fa)
         return [_to_hwc(f), _to_hwc(q)]
+
+    def __getitem__(self, index: int):
+        return self.sample_from_arrays(
+            index, [_load_slice(p) for p in self.sample_paths(index)]
+        )
 
     def load_name(self, index: int, sub_dir: bool = False) -> str:
         name = self.q_paths[index]

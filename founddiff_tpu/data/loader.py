@@ -50,6 +50,7 @@ class Loader:
         prefetch: int = 2,
         seed: int = 0,
         device_put: bool = False,
+        decode_threads: int = 4,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -58,6 +59,30 @@ class Loader:
         self.prefetch = prefetch
         self.rng = np.random.RandomState(seed)
         self.device_put = device_put
+        # native pool decode: when the C++ loader is built and the dataset
+        # exposes the (sample_paths, sample_from_arrays) protocol, all of a
+        # batch's .npy files decode concurrently on the native thread pool
+        # (the analogue of the reference's 4 DataLoader worker processes,
+        # src/DADiff.py:1582-1588)
+        self.decode_threads = decode_threads
+        self._pool = None
+
+    def _native_pool(self):
+        """Lazy PrefetchPool, or None when unavailable/unsupported."""
+        if self.decode_threads <= 0:
+            return None
+        if not (
+            hasattr(self.dataset, "sample_paths")
+            and hasattr(self.dataset, "sample_from_arrays")
+        ):
+            return None
+        if self._pool is None:
+            from founddiff_tpu.data import native
+
+            if not native.available():
+                return None
+            self._pool = native.PrefetchPool(self.decode_threads)
+        return self._pool
 
     def __len__(self):
         n = len(self.dataset)
@@ -69,14 +94,31 @@ class Loader:
             self.rng.shuffle(idx)
         return idx
 
+    def _load_samples(self, chunk):
+        pool = self._native_pool()
+        if pool is None:
+            return [self.dataset[int(i)] for i in chunk]
+        # submit every file of the batch, then assemble per sample
+        per_sample_paths = [self.dataset.sample_paths(int(i)) for i in chunk]
+        flat = [p for ps in per_sample_paths for p in ps]
+        arrays = pool.load_many(flat)
+        samples, pos = [], 0
+        for i, ps in zip(chunk, per_sample_paths):
+            samples.append(
+                self.dataset.sample_from_arrays(
+                    int(i), arrays[pos : pos + len(ps)]
+                )
+            )
+            pos += len(ps)
+        return samples
+
     def _batches(self):
         idx = self._epoch_indices()
         n = len(idx)
         stop = n - (n % self.batch_size) if self.drop_last else n
         for start in range(0, stop, self.batch_size):
             chunk = idx[start : start + self.batch_size]
-            samples = [self.dataset[int(i)] for i in chunk]
-            batch = _stack_batch(samples)
+            batch = _stack_batch(self._load_samples(chunk))
             if self.device_put:
                 batch = jax.tree_util.tree_map(jax.device_put, batch)
             yield batch

@@ -418,7 +418,13 @@ class CLIPIQA(nn.Module):
     transformer_heads: int = 8
     # EOT positions of the two tokenized prompts (reference derives them via
     # tokenized_prompts.argmax(-1), src/DACLIP.py:967; configurable so
-    # tokenizer-bootstrapped or test towers can supply the real positions)
+    # tokenizer-bootstrapped or test towers can supply the real positions).
+    # The (24, 25) default assumes the stock CLIP BPE splits 'CT' -> [c, t]
+    # and '..' -> [., .] (1 SOT + 16 ctx + 7/8 name tokens); when a real
+    # bpe_simple_vocab_16e6.txt.gz is available, callers should derive the
+    # true positions via
+    # founddiff_tpu.models.tokenizer.bootstrap_prompt_learner (which also
+    # validates against this default) rather than trust it.
     prompt_eot_indices: Tuple[int, ...] = (24, 25)
     prompt_name_lens: Tuple[int, ...] = (3, 3)
 

@@ -40,6 +40,9 @@ class FoundDiffDenoiser(nn.Module):
     clip_backbone: str = "RN50"
     # micro-tower overrides for tests/dryrun, as hashable kv pairs
     clip_overrides: Tuple[Tuple[str, object], ...] = ()
+    # sequence-parallel mesh threaded down to the SS2D scans (see SS2D.mesh);
+    # set via .clone(mesh=...) for config-5 full-volume inference
+    mesh: Optional[object] = None
 
     def setup(self):
         assert self.clip_backbone == "RN50", "reference ships RN50 only"
@@ -56,6 +59,7 @@ class FoundDiffDenoiser(nn.Module):
             objective=self.objective,
             test_res_or_noise=self.test_res_or_noise,
             scan_impl=self.scan_impl,
+            mesh=self.mesh,
         )
 
     def encode(self, x_input):

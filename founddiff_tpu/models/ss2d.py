@@ -102,6 +102,18 @@ class SS2D(nn.Module):
     # 'v2' = decimated EfficientScan (shipped config, src/emamba2.py:690-708);
     # 'v0' = full 4-direction scan variant (src/emamba2.py:589-634)
     forward_type: str = "v2"
+    # sequence parallelism: when a Mesh with a >1 'seq' axis is given, the
+    # scan's L axis is sharded over it (shard_map + all-gathered shard
+    # summaries, :mod:`founddiff_tpu.parallel.sequence`) — the TPU-native
+    # answer to BASELINE config 5 / SURVEY §2.3 "shard the (H/2)(W/2) scan
+    # dimension"; the reference is DP-only (src/DADiff.py:1546-1552)
+    mesh: Optional[object] = None
+
+    def _seq_shards(self) -> int:
+        m = self.mesh
+        if m is None or "seq" not in getattr(m, "axis_names", ()):
+            return 1
+        return int(m.shape["seq"])
 
     @nn.compact
     def __call__(self, x, c=None, deterministic: bool = True):
@@ -122,12 +134,17 @@ class SS2D(nn.Module):
         if impl == "auto":
             impl = "pallas_fused" if jax.default_backend() == "tpu" else "chunked"
         # fused epilogue (merge+LN+silu-gate+cond in one pass) rides the
-        # fused kernel path on even grids with the shipped v2 decimation
+        # fused kernel path on even grids with the shipped v2 decimation;
+        # the image/merge kernels hardcode step-2 decimation, so any other
+        # step_size must fall through to the unfused path
         fuse_epilogue = (
             impl == "pallas_fused"
             and self.forward_type == "v2"
+            and self.step_size == 2
             and H % 2 == 0
             and W % 2 == 0
+            and self._seq_shards() == 1  # seq-sharded scans use the
+            # projection-materializing path under shard_map
         )
 
         xz = dense(2 * d_inner, use_bias=self.use_bias, name="in_proj")(x)
@@ -230,7 +247,33 @@ class SS2D(nn.Module):
             impl = self.scan_impl
         if impl == "auto":
             impl = "pallas_fused" if jax.default_backend() == "tpu" else "chunked"
-        if impl == "pallas_fused":
+        if self._seq_shards() > 1:
+            # sequence-parallel scan: L sharded over the mesh 'seq' axis,
+            # batch over 'data'; the per-position projections shard freely,
+            # the scan stitches shards via all-gathered (A_prod, h_end)
+            # summaries (founddiff_tpu/parallel/sequence.py)
+            from founddiff_tpu.parallel.sequence import (
+                seq_sharded_selective_scan,
+            )
+
+            x_dbl = jnp.einsum(
+                "bkld,kcd->bklc", xs, x_proj_weight.astype(xs.dtype)
+            )
+            dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+            dts = jnp.einsum(
+                "bklr,kdr->bkld", dts, dt_projs_weight.astype(xs.dtype)
+            )
+            batch_axis = (
+                "data"
+                if "data" in self.mesh.axis_names
+                and xs.shape[0] % int(self.mesh.shape["data"]) == 0
+                else None
+            )
+            ys = seq_sharded_selective_scan(
+                xs, dts, As, Bs, Cs, Ds, delta_bias=dt_projs_bias,
+                mesh=self.mesh, axis="seq", batch_axis=batch_axis,
+            )
+        elif impl == "pallas_fused":
             # fused kernel: the x_dbl/dt projections run inside the scan so
             # delta/B/C never round-trip HBM
             from founddiff_tpu.ops.scan_pallas import selective_scan_pallas_fused
@@ -302,6 +345,7 @@ class MambaBlock(nn.Module):
     cross: bool = False
     time_emb_dim: Optional[int] = None
     scan_impl: str = "auto"
+    mesh: Optional[object] = None  # sequence-parallel mesh (see SS2D.mesh)
 
     @nn.compact
     def __call__(self, x, c, t, deterministic: bool = True):
@@ -331,6 +375,7 @@ class MambaBlock(nn.Module):
             ssm_ratio=self.expand,
             dropout=self.dropout,
             scan_impl=self.scan_impl,
+            mesh=self.mesh,
             name="mamba",
         )(x1, c, deterministic=deterministic)
 

@@ -58,6 +58,7 @@ class Unet(nn.Module):
     ssm_expand: float = 2.0
     context_dim: int = 1024
     scan_impl: str = "auto"
+    mesh: Optional[object] = None  # sequence-parallel mesh (see SS2D.mesh)
 
     @nn.compact
     def __call__(
@@ -146,6 +147,7 @@ class Unet(nn.Module):
                 d_state=d_state_for(ind),
                 expand=self.ssm_expand,
                 scan_impl=self.scan_impl,
+                mesh=self.mesh,
                 name=f"down_{ind}_attn",
             )(x, c, t, deterministic=deterministic)
             x = ResnetBlock(
@@ -167,6 +169,7 @@ class Unet(nn.Module):
             d_state=int(self.base_d_state * 2 ** (num_res - 1)),
             expand=self.ssm_expand,
             scan_impl=self.scan_impl,
+            mesh=self.mesh,
             name="mid_attn",
         )(x, c, t, deterministic=deterministic)
 
@@ -184,6 +187,7 @@ class Unet(nn.Module):
                 d_state=d_state_for(level),
                 expand=self.ssm_expand,
                 scan_impl=self.scan_impl,
+                mesh=self.mesh,
                 name=f"up_{ind}_attn",
             )(x, c, t, deterministic=deterministic)
             if not is_last:
@@ -219,6 +223,7 @@ class UnetRes(nn.Module):
     objective: str = "pred_res_noise"
     test_res_or_noise: str = "res_noise"
     scan_impl: str = "auto"
+    mesh: Optional[object] = None  # sequence-parallel mesh (see SS2D.mesh)
 
     def _make_unet(self, name):
         return Unet(
@@ -233,6 +238,7 @@ class UnetRes(nn.Module):
             condition=self.condition,
             input_condition=self.input_condition,
             scan_impl=self.scan_impl,
+            mesh=self.mesh,
             name=name,
         )
 

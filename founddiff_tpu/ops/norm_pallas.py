@@ -31,7 +31,10 @@ def _ln_kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float, has_affine: bool):
 
 def _ln_forward(x2d, scale, bias, eps):
     R, C = x2d.shape
-    blk = max(256, min(2048, (2 * 1024 * 1024) // (C * 4)))
+    # Mosaic: the block's second-minor dim must be a multiple of 8 (or the
+    # full array dim); R is padded to a blk multiple below, so keep blk 8-
+    # aligned unless it covers the whole array
+    blk = max(256, min(2048, (2 * 1024 * 1024) // (C * 4))) // 8 * 8
     blk = min(blk, R)
     pad = (-R) % blk
     if pad:
@@ -132,7 +135,7 @@ def _ln_mod_kernel(x_ref, g_ref, b_ref, ms_ref, mt_ref, o_ref, *, eps: float,
 
 def _ln_mod_forward(x3d, scale, bias, mod_scale, mod_shift, eps):
     B, R, C = x3d.shape
-    blk = max(256, min(2048, (2 * 1024 * 1024) // (C * 4)))
+    blk = max(256, min(2048, (2 * 1024 * 1024) // (C * 4))) // 8 * 8
     blk = min(blk, R)
     pad = (-R) % blk
     if pad:

@@ -767,6 +767,25 @@ def _pick_tile(S: int) -> int:
     return max(t, 1)
 
 
+def _pick_image_s(major: int, minor: int, D: int, N: int, B: int,
+                  col_major: bool) -> int:
+    """Column-block length (in major-dim units) for the image-direct scan.
+    For the col orientation, Mosaic requires the x-block's second-minor dim
+    (s) to be a multiple of 8 or the full dim.  Returns 0 when no legal
+    choice exists (callers fall back to the decimated fused kernel)."""
+    target = _pick_chunk(2 * B, D, N, major * minor)
+    s = max(1, min(major, target // max(minor, 1)))
+    while major % s:
+        s -= 1
+    if col_major and s % 8 and s != major:
+        s = major if major < 8 else 8
+        while s > 1 and major % s:
+            s //= 2
+        if s % 8 and s != major:
+            return 0
+    return s
+
+
 def _scan_kernel_image(x_ref, wd_ref, wb_ref, wc_ref, a_ref, d_ref, bias_ref,
                        y_ref, h_ref, *, chunk: int, softplus: bool,
                        col_major: bool, D: int):
@@ -843,16 +862,8 @@ def _image_call(x5, w_delta, w_b, w_c, a_k, d_k, bias_k, *, col_major: bool,
     L = H2 * W2
     minor = H2 if col_major else W2
     major = W2 if col_major else H2
-    target = _pick_chunk(2 * B, D, N, L)
-    s = max(1, min(major, target // max(minor, 1)))
-    while major % s:
-        s -= 1
-    if col_major and s % 8 and s != major:
-        # Mosaic: the col block's second-minor dim (s) must be a multiple
-        # of 8 (or the full dim); callers gate on the implied VMEM
-        s = major if major < 8 else 8
-        while major % s:
-            s //= 2
+    s = _pick_image_s(major, minor, D, N, B, col_major)
+    assert s > 0, "caller must gate on image_scan_vmem_ok"
     S = s * minor
     C = major // s
 
@@ -982,10 +993,17 @@ _scan_image.defvjp(_scan_image_fwd, _scan_image_bwd)
 
 
 def image_scan_vmem_ok(H: int, W: int, d_inner: int, d_state: int) -> bool:
-    """Whether the column-orientation chunk (>= 8 W-columns, Mosaic sublane
-    rule) fits the VMEM budget at this scale; deeper UNet scales fall back
-    to the decimate + [B,K,L,D] fused kernel."""
-    S = max(8, min(8, W // 2)) * (H // 2)
+    """Whether the image-direct kernels have a Mosaic-legal column block at
+    this shape AND the column-orientation chunk fits the VMEM budget; deeper
+    UNet scales (and awkward grids) fall back to the decimate + [B,K,L,D]
+    fused kernel.  (_pick_chunk ignores the group count, so B=1 here picks
+    the same s as the kernel launch.)"""
+    H2, W2 = H // 2, W // 2
+    s_row = _pick_image_s(H2, W2, d_inner, d_state, 1, col_major=False)
+    s_col = _pick_image_s(W2, H2, d_inner, d_state, 1, col_major=True)
+    if not (s_row and s_col):
+        return False
+    S = s_col * H2
     # measured scoped usage runs ~1.3x this estimate; keep well under the
     # 64 MB kernel limit
     return 4 * d_state * S * d_inner * 4 <= 40 * 1024 * 1024

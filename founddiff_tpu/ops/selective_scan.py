@@ -146,7 +146,10 @@ def selective_scan_chunked(
         h_next, y = chunk_fn(h, uc, dc, bc, cc)
         return h_next, y
 
-    h0 = jnp.zeros((B, K, D, N), jnp.float32)
+    # derive the zero carry from the input so it inherits the input's
+    # varying-manual-axes under shard_map (a plain jnp.zeros carry trips
+    # the scan carry-type check when L is sharded over a mesh axis)
+    h0 = jnp.zeros((B, K, D, N), jnp.float32) + 0.0 * u_p[:, :, 0, :, None]
     h_last, ys = jax.lax.scan(step, h0, xs)
     y = ys.transpose(1, 2, 0, 3, 4).reshape(B, K, Lp, D)[:, :, :L]
     if Dskip is not None:

@@ -96,7 +96,8 @@ def _merge_ln_gate_xla(ys, z, scale, bias, local, H, W, eps,
 def _pick_bh(H2: int, W2: int, C: int) -> int:
     # ~10 live fp32 copies of a [2bh, W, C] tile through the assembly chain;
     # Mosaic needs the col input block's second-minor (bh) to be a multiple
-    # of 8 or the full H2
+    # of 8 or the full H2.  Returns 0 when no legal block exists (callers
+    # fall back to the XLA composition).
     budget = 24 * 1024 * 1024
     bh = max(8, budget // max(80 * W2 * C * 4, 1))
     bh = min(bh, H2)
@@ -106,7 +107,9 @@ def _pick_bh(H2: int, W2: int, C: int) -> int:
         bh = H2 if H2 < 8 else 8
         while H2 % bh:
             bh //= 2
-    return max(bh, 1)
+    if bh < 1 or (bh % 8 and bh != H2):
+        return 0
+    return bh
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "eps", "has_local",
@@ -230,6 +233,10 @@ def merge_ln_gate(
     """
     assert H % 2 == 0 and W % 2 == 0, (H, W)
     has_local = local is not None
+    if not _pick_bh(H // 2, W // 2, z.shape[-1]):
+        # no Mosaic-legal row block at this shape -> unfused composition
+        return _merge_ln_gate_xla(ys, z, scale, bias, local, H, W, eps,
+                                  gate_silu=gate_silu)
     if local is None:
         local = jnp.zeros((z.shape[0], z.shape[-1]), z.dtype)
     return _merge_ln_gate(ys, z, scale, bias, local, H, W, eps, has_local,
@@ -296,6 +303,14 @@ def merge_ln_gate_split(
     [B, 2, L, C] (w-major layout), as produced by ``selective_scan_image``."""
     assert H % 2 == 0 and W % 2 == 0, (H, W)
     has_local = local is not None
+    if not _pick_bh(H // 2, W // 2, z.shape[-1]):
+        B, C = z.shape[0], z.shape[-1]
+        ys = jnp.stack(
+            [ys_rows[:, 0], ys_cols[:, 0], ys_rows[:, 1], ys_cols[:, 1]],
+            axis=1,
+        )
+        return _merge_ln_gate_xla(ys, z, scale, bias, local, H, W, eps,
+                                  gate_silu=gate_silu)
     if local is None:
         local = jnp.zeros((z.shape[0], z.shape[-1]), z.dtype)
     return _merge_ln_gate_split(ys_rows, ys_cols, z, scale, bias, local,

