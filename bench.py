@@ -108,6 +108,47 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    # Extra operating points (BENCH_POINTS=1): serving latency at bs=1 and
+    # the shipped clinical 2-step config, emitted on STDERR so the driver's
+    # one-JSON-line stdout contract holds.
+    if os.environ.get("BENCH_POINTS"):
+        import sys
+
+        for b2, s2, label in ((1, steps, "bs1_latency"),
+                              (batch, 2, "ddim2_clinical"),
+                              (1, 2, "ddim2_bs1_latency")):
+            d2 = diffusion
+            if s2 != steps:
+                # sampling_timesteps only drives ddim_time_pairs at sample
+                # time (residual.py:349), so a shallow copy reconfigures it
+                import copy
+
+                d2 = copy.copy(diffusion)
+                d2.sampling_timesteps = s2
+                d2.is_ddim_sampling = s2 < d2.num_timesteps
+            smp = jax.jit(
+                make_hoisted_sampler(
+                    model, d2, use_test_schedule=True,
+                    compute_dtype=compute_dtype,
+                )
+            )
+            x2 = x[:b2]
+            o = smp(params, rng, x2)
+            jax.block_until_ready(o)
+            t0 = time.perf_counter()
+            n = max(repeats, 2 if s2 == 2 else repeats)
+            for i in range(n):
+                o = smp(params, jax.random.fold_in(rng, 100 + i), x2)
+            jax.block_until_ready(o)
+            d = time.perf_counter() - t0
+            point = {
+                "metric": f"{label} ddim{s2}_{size}x{size} bs{b2}",
+                "value": round(n * b2 / d, 4),
+                "unit": "slices/sec/chip",
+                "sec_per_batch": round(d / n, 4),
+            }
+            print(json.dumps(point), file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

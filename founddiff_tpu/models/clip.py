@@ -23,7 +23,7 @@ TPU-first notes:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -203,6 +203,70 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+class VisionTransformer(nn.Module):
+    """CLIP ViT visual tower (reference src/DACLIP.py:401-447).
+
+    Patchify conv -> [CLS; patches] -> (optional bicubic-resized positional
+    embedding, gated exactly like the reference's ``pos_embedding`` flag) ->
+    ln_pre -> QuickGELU transformer -> ln_post on the CLS token -> proj."""
+
+    input_resolution: int
+    patch_size: int
+    width: int
+    layers: int
+    heads: int
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, x, pos_embedding: bool = False,
+                 return_token: bool = False):
+        B = x.shape[0]
+        w = self.width
+        x = nn.Conv(
+            w, (self.patch_size, self.patch_size),
+            strides=self.patch_size, padding="VALID", use_bias=False,
+            kernel_init=torch_kernel_init, name="conv1",
+        )(x)  # [B, g, g, w]
+        x = x.reshape(B, -1, w)  # [B, g*g, w]
+
+        scale = w**-0.5
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(scale), (w,)
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (B, 1, w)), x], axis=1
+        )
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(scale),
+            ((self.input_resolution // self.patch_size) ** 2 + 1, w),
+        )
+        if pos_embedding:
+            if x.shape[1] != pos.shape[0]:
+                pos_r = jax.image.resize(
+                    pos[None, None], (1, 1, x.shape[1], w), method="bicubic"
+                )[0, 0]
+            else:
+                pos_r = pos
+            x = x + pos_r[None].astype(x.dtype)
+
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(
+                w, self.heads, name=f"resblock_{i}"
+            )(x, None)
+        ln_post = nn.LayerNorm(epsilon=1e-5, name="ln_post")
+        token = ln_post(x[:, 1:, :]) if return_token else None
+        x = ln_post(x[:, 0, :])
+        proj = self.param(
+            "proj", nn.initializers.normal(scale), (w, self.output_dim)
+        )
+        x = x @ proj.astype(x.dtype)
+        if return_token:
+            return x, token
+        return x
+
+
 class ResidualAttentionBlock(nn.Module):
     """Text transformer block with QuickGELU (reference src/DACLIP.py:364-387)."""
 
@@ -257,12 +321,20 @@ class TextTransformer(nn.Module):
 
 
 class CLIP(nn.Module):
-    """CLIP RN50 (reference ``CLIP`` src/DACLIP.py:450-581)."""
+    """CLIP (reference ``CLIP`` src/DACLIP.py:450-581).
+
+    ``vision_layers`` dispatches the visual tower exactly like the reference
+    ctor (src/DACLIP.py:469-487): a tuple builds the ``ModifiedResNet``
+    (RN50-family), an int builds the ``VisionTransformer`` with
+    ``vision_patch_size`` patches."""
 
     embed_dim: int = 1024
     image_resolution: int = 224
-    vision_layers: Tuple[int, ...] = (3, 4, 6, 3)
+    # Tuple[int, ...] selects the ResNet tower, int the ViT (reference
+    # src/DACLIP.py:469-487 makes the same isinstance dispatch)
+    vision_layers: Any = (3, 4, 6, 3)
     vision_width: int = 64
+    vision_patch_size: int = 32  # ViT only
     context_length: int = 77
     vocab_size: int = 49408
     transformer_width: int = 512
@@ -270,13 +342,23 @@ class CLIP(nn.Module):
     transformer_layers: int = 12
 
     def setup(self):
-        self.visual = ModifiedResNet(
-            layers=self.vision_layers,
-            output_dim=self.embed_dim,
-            heads=self.vision_width * 32 // 64,
-            input_resolution=self.image_resolution,
-            width=self.vision_width,
-        )
+        if isinstance(self.vision_layers, (tuple, list)):
+            self.visual = ModifiedResNet(
+                layers=tuple(self.vision_layers),
+                output_dim=self.embed_dim,
+                heads=self.vision_width * 32 // 64,
+                input_resolution=self.image_resolution,
+                width=self.vision_width,
+            )
+        else:
+            self.visual = VisionTransformer(
+                input_resolution=self.image_resolution,
+                patch_size=self.vision_patch_size,
+                width=self.vision_width,
+                layers=int(self.vision_layers),
+                heads=self.vision_width // 64,
+                output_dim=self.embed_dim,
+            )
         self.transformer = TextTransformer(
             width=self.transformer_width,
             layers=self.transformer_layers,

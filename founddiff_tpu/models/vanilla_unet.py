@@ -44,10 +44,13 @@ class TimeResnetBlock(nn.Module):
         h = Block(self.dim_out, groups=self.groups, name="block1")(
             x, scale_shift=scale_shift
         )
-        h = Block(self.dim_out, groups=self.groups, name="block2")(h)
+        res = x
         if x.shape[-1] != self.dim_out:
-            x = conv2d(self.dim_out, 1, name="res_conv")(x)
-        return h + x
+            res = conv2d(self.dim_out, 1, name="res_conv")(x)
+        # residual add fused into block2's GN/SiLU epilogue
+        return Block(self.dim_out, groups=self.groups, name="block2")(
+            h, residual=res
+        )
 
 
 class VanillaUnet(nn.Module):

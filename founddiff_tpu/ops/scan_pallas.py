@@ -143,10 +143,35 @@ def _tile_scan_rev(w, q, TILE, local_idx):
 
 
 def _resolve_tiles_rev(w_sc, q_sc, TILE, ntiles):
-    """Chain reverse tile scans right-to-left:
-    gh_t = q_sc_t + w_sc_t * gh_{next tile first}."""
+    """Combine reverse (suffix) tile scans right-to-left:
+    gh_t = q_sc_t + w_sc_t * gh_{first element of the next tile}.
+
+    'tree' mirror of :func:`_resolve_tiles`: suffix Hillis-Steele over the
+    per-tile first-element summaries, then one broadcast fma."""
+    if _RESOLVE_IMPL == "tree" and ntiles > 1:
+        N, S, D = q_sc.shape
+        w4 = w_sc.reshape(N, ntiles, TILE, D)
+        q4 = q_sc.reshape(N, ntiles, TILE, D)
+        wf = w4[:, :, 0, :]  # [N, nt, D] suffix products from tile start
+        qf = q4[:, :, 0, :]  # tile-first suffix values (zero beyond tile)
+        Ww, Qq = wf, qf
+        shift = 1
+        while shift < ntiles:
+            ident = jnp.ones_like(Ww[:, :shift])
+            zero = jnp.zeros_like(ident)
+            w_sh = jnp.concatenate([Ww[:, shift:], ident], axis=1)
+            q_sh = jnp.concatenate([Qq[:, shift:], zero], axis=1)
+            Qq = Qq + Ww * q_sh
+            Ww = Ww * w_sh
+            shift *= 2
+        # state entering tile t FROM THE RIGHT = gh at first element of
+        # tile t+1 (zero after the last tile)
+        r = jnp.concatenate(
+            [Qq[:, 1:, :], jnp.zeros_like(Qq[:, :1, :])], axis=1
+        )  # [N, nt, D]
+        return (q4 + w4 * r[:, :, None, :]).reshape(N, S, D)
+
     parts = [None] * ntiles
-    S = TILE * ntiles
     carry = None
     for ti in reversed(range(ntiles)):
         sl = slice(ti * TILE, (ti + 1) * TILE)
@@ -159,9 +184,56 @@ def _resolve_tiles_rev(w_sc, q_sc, TILE, ntiles):
     return jnp.concatenate(parts, axis=1) if ntiles > 1 else parts[0]
 
 
+import os as _os
+
+# 'chain' (sequential per-tile carry) | 'tree' (HS over tile carries).
+# Measured r3 on v5e (scan-only capture, all 4 UNet scales, bs8): chain
+# 32.3 ms vs tree 55.8 ms — the strided tile-carry extraction + small-array
+# HS cost more than the 128-step chain; the kernel is ALU-throughput bound,
+# not latency bound.  'tree' kept selectable for future Mosaic versions.
+_RESOLVE_IMPL = _os.environ.get("FOUNDDIFF_RESOLVE", "chain")
+
+
 def _resolve_tiles(a_sc, b_sc, carry, TILE, ntiles):
-    """Chain the per-tile scans with a sequential carry (static slices):
-    h_t = b_sc_t + cumA_tile_t * carry.  Returns ([N,S,D] states, carry)."""
+    """Combine the per-tile inclusive scans into the global scan:
+    h_t = b_sc_t + cumA_tile_t * carry_entering_tile(t).
+
+    'tree': a second-level Hillis-Steele over the ntiles tile carries
+    (~log2(ntiles) vector ops on [N, ntiles, D]) followed by ONE broadcast
+    fma over the full [N, S, D] tile — the sequential chain serialized
+    ntiles (up to 128) small dependent ops per grid cell and was the
+    latency bottleneck of the whole scan ("resolve chain" in the r2 notes).
+    Returns ([N, S, D] states, carry)."""
+    if _RESOLVE_IMPL == "tree" and ntiles > 1:
+        N, S, D = a_sc.shape
+        a4 = a_sc.reshape(N, ntiles, TILE, D)
+        b4 = b_sc.reshape(N, ntiles, TILE, D)
+        ta = a4[:, :, TILE - 1, :]  # [N, nt, D] per-tile decay products
+        tb = b4[:, :, TILE - 1, :]  # per-tile end states (zero carry-in)
+        Aa, Bb = ta, tb
+        shift = 1
+        while shift < ntiles:
+            ident = jnp.ones_like(Aa[:, :shift])
+            zero = jnp.zeros_like(ident)
+            a_sh = jnp.concatenate([ident, Aa[:, :-shift]], axis=1)
+            b_sh = jnp.concatenate([zero, Bb[:, :-shift]], axis=1)
+            Bb = Aa * b_sh + Bb
+            Aa = Aa * a_sh
+            shift *= 2
+        # state ENTERING tile t: e_0 = carry; e_t = Bb_{t-1} + Aa_{t-1}*carry
+        e = jnp.concatenate(
+            [
+                carry[:, None, :],
+                Bb[:, :-1, :] + Aa[:, :-1, :] * carry[:, None, :],
+            ],
+            axis=1,
+        )  # [N, nt, D]
+        h_all = (b4 + a4 * e[:, :, None, :]).reshape(N, S, D)
+        # static (non-negative) index: Mosaic has no dynamic_slice
+        last = ntiles - 1
+        new_carry = Bb[:, last, :] + Aa[:, last, :] * carry
+        return h_all, new_carry
+
     parts = []
     for ti in range(ntiles):
         sl = slice(ti * TILE, (ti + 1) * TILE)

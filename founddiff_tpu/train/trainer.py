@@ -138,13 +138,46 @@ class Trainer:
         ld = ld.reshape(accum, micro, *ld.shape[1:])
         rngs = jax.random.split(jax.random.fold_in(rng, state.step), accum)
 
+        # bf16 compute / fp32 master weights: params and denoiser inputs are
+        # cast at the model boundary (grads flow back to the fp32 masters
+        # through the cast); schedules/losses stay fp32.  The reference
+        # plumbs mixed precision but ships it off (src/DADiff.py:1550).
+        diffusion = self.diffusion
+        bf16 = tcfg.mixed_precision == "bf16"
+        if bf16:
+            import copy as _copy
+
+            diffusion = _copy.copy(self.diffusion)
+            base_fn = self.diffusion.model_fn
+
+            def bf16_fn(p, x_in, time, x_self_cond=None):
+                out = base_fn(
+                    p,
+                    x_in.astype(jnp.bfloat16),
+                    time,
+                    None if x_self_cond is None
+                    else x_self_cond.astype(jnp.bfloat16),
+                )
+                return [
+                    o.astype(jnp.float32) if hasattr(o, "astype") else o
+                    for o in out
+                ]
+
+            diffusion.model_fn = bf16_fn
+
         def loss_fn(params, g, l, r):
+            if bf16:
+                params = jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.bfloat16)
+                    if p.dtype == jnp.float32 else p,
+                    params,
+                )
             if self._is_conditional():
-                losses = self.diffusion.loss(params, r, [g, l])
+                losses = diffusion.loss(params, r, [g, l])
             else:
                 # generation path: train on the (single) image stream
                 # (reference src/DADiff.py:1691-1694)
-                losses = [self.diffusion.loss(params, r, g)]
+                losses = [diffusion.loss(params, r, g)]
             # per-unet losses averaged over accumulation
             # (reference src/DADiff.py:1700-1705)
             total = sum(losses) / accum

@@ -227,6 +227,15 @@ def convert_bottleneck(c: Converter, fpath: str, tkey: str):
     for i in (1, 2, 3):
         c.conv(f"{fpath}/conv{i}", f"{tkey}.conv{i}", bias=False)
         c.batchnorm(f"{fpath}/bn{i}", f"{tkey}.bn{i}")
+    # downsample exists only on stride/width-changing blocks; register the
+    # requests unconditionally (so coverage synthesis sees the keys) and
+    # convert when present, like res_conv in convert_resnet_block
+    c._req(fpath + "/downsample_conv/kernel", tkey + ".downsample.0.weight",
+           "conv")
+    for part, tpart in (("scale", "weight"), ("bias", "bias"),
+                        ("mean", "running_mean"), ("var", "running_var")):
+        c._req(f"{fpath}/downsample_bn/{part}",
+               f"{tkey}.downsample.1.{tpart}", "raw")
     if c.has(tkey + ".downsample.0.weight"):
         c.conv(fpath + "/downsample_conv", tkey + ".downsample.0", bias=False)
         c.batchnorm(fpath + "/downsample_bn", tkey + ".downsample.1")
@@ -248,6 +257,101 @@ def convert_visual(c: Converter, fpath: str, tkey: str,
         c.linear(f"{ap}/{proj}", f"{tp}.{proj}")
 
 
+def convert_visual_vit(c: Converter, fpath: str, tkey: str, layers: int = 12):
+    """CLIP ViT visual tower (reference ``VisionTransformer``
+    src/DACLIP.py:401-447)."""
+    c.conv(fpath + "/conv1", tkey + ".conv1", bias=False)
+    c.raw(fpath + "/class_embedding", tkey + ".class_embedding")
+    c.raw(fpath + "/positional_embedding", tkey + ".positional_embedding")
+    c.norm(fpath + "/ln_pre", tkey + ".ln_pre")
+    convert_text_transformer(c, fpath, tkey + ".transformer", layers=layers)
+    c.norm(fpath + "/ln_post", tkey + ".ln_post")
+    c.raw(fpath + "/proj", tkey + ".proj")
+
+
+def infer_clip_config(state_dict: TensorDict, prefix: str = "") -> dict:
+    """Infer a :class:`founddiff_tpu.models.clip.CLIP` config from a stock
+    CLIP state dict, mirroring the reference's ``build_model`` key
+    inspection (src/DACLIP.py:609-633).  Keys may carry ``prefix``
+    (e.g. ``clip_model.``)."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    vit = "visual.proj" in sd
+    if vit:
+        vision_width = sd["visual.conv1.weight"].shape[0]
+        vision_layers = len([
+            k for k in sd
+            if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")
+        ])
+        vision_patch_size = sd["visual.conv1.weight"].shape[-1]
+        grid = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
+        image_resolution = vision_patch_size * grid
+    else:
+        counts = [
+            len({k.split(".")[2] for k in sd
+                 if k.startswith(f"visual.layer{b}")})
+            for b in (1, 2, 3, 4)
+        ]
+        vision_layers = tuple(counts)
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        out_width = round(
+            (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5
+        )
+        vision_patch_size = 32
+        image_resolution = out_width * 32
+    return dict(
+        embed_dim=sd["text_projection"].shape[1],
+        image_resolution=image_resolution,
+        vision_layers=vision_layers,
+        vision_width=vision_width,
+        vision_patch_size=vision_patch_size,
+        context_length=sd["positional_embedding"].shape[0],
+        vocab_size=sd["token_embedding.weight"].shape[0],
+        transformer_width=sd["ln_final.weight"].shape[0],
+        transformer_heads=sd["ln_final.weight"].shape[0] // 64,
+        transformer_layers=len({
+            k.split(".")[2] for k in sd
+            if k.startswith("transformer.resblocks")
+        }),
+    )
+
+
+def build_clip_from_state_dict(state_dict: TensorDict, prefix: str = "",
+                               **overrides):
+    """``build_model`` analogue (reference src/DACLIP.py:609-648): infer the
+    architecture from any stock CLIP state dict (RN or ViT), build the Flax
+    :class:`CLIP`, and convert the weights.  Returns ``(module, params)``.
+
+    ``overrides`` patch inferred config fields — head counts are NOT
+    recoverable from a state dict (the reference hardcodes width//64, true
+    for stock checkpoints but not for micro test towers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from founddiff_tpu.models.clip import CLIP
+
+    cfg = infer_clip_config(state_dict, prefix)
+    cfg.update(overrides)
+    module = CLIP(**cfg)
+    res = cfg["image_resolution"]
+    template = module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, res, res, 3), jnp.float32),
+        jnp.zeros((1, cfg["context_length"]), jnp.int32),
+    )["params"]
+    c = Converter({k[len(prefix):] if prefix else k: v
+                   for k, v in state_dict.items() if k.startswith(prefix)})
+    convert_clip(
+        c, "", "",
+        vision_layers=cfg["vision_layers"],
+        transformer_layers=cfg["transformer_layers"],
+        with_token_embedding=True,
+    )
+    out = {tuple(p for p in k if p): v for k, v in c.out.items()}
+    params, applied = _apply(template, out)
+    return module, params
+
+
 def convert_text_transformer(c: Converter, fpath: str, tkey: str, layers: int = 12):
     for i in range(layers):
         fb, tb = f"{fpath}/resblock_{i}", f"{tkey}.resblocks.{i}"
@@ -267,20 +371,29 @@ def convert_text_transformer(c: Converter, fpath: str, tkey: str, layers: int = 
 def convert_clip(c: Converter, fpath: str, tkey: str,
                  vision_layers=(3, 4, 6, 3), transformer_layers: int = 12,
                  with_token_embedding: bool = True):
-    convert_visual(c, fpath + "/visual", tkey + ".visual", layers=vision_layers)
+    """``vision_layers``: tuple -> ModifiedResNet, int -> ViT (the same
+    dispatch as the reference ctor, src/DACLIP.py:469-487).  ``tkey`` may be
+    empty for a bare (unprefixed) CLIP state dict."""
+    dot = (tkey + ".") if tkey else ""
+    if isinstance(vision_layers, (tuple, list)):
+        convert_visual(c, fpath + "/visual", dot + "visual",
+                       layers=tuple(vision_layers))
+    else:
+        convert_visual_vit(c, fpath + "/visual", dot + "visual",
+                           layers=int(vision_layers))
     convert_text_transformer(
-        c, fpath + "/transformer", tkey + ".transformer",
+        c, fpath + "/transformer", dot + "transformer",
         layers=transformer_layers,
     )
     if with_token_embedding:
         # only traced (hence present in the flax tree) for encode_text users;
         # CLIPIQA's forward path embeds prompts via PromptLearner buffers
         c.raw(fpath + "/token_embedding/embedding",
-              tkey + ".token_embedding.weight")
-    c.raw(fpath + "/positional_embedding", tkey + ".positional_embedding")
-    c.norm(fpath + "/ln_final", tkey + ".ln_final")
-    c.raw(fpath + "/text_projection", tkey + ".text_projection")
-    c.raw(fpath + "/logit_scale", tkey + ".logit_scale")
+              dot + "token_embedding.weight")
+    c.raw(fpath + "/positional_embedding", dot + "positional_embedding")
+    c.norm(fpath + "/ln_final", dot + "ln_final")
+    c.raw(fpath + "/text_projection", dot + "text_projection")
+    c.raw(fpath + "/logit_scale", dot + "logit_scale")
 
 
 def convert_clipiqa(c: Converter, fpath: str, tkey_prefix: str = "",

@@ -67,7 +67,7 @@ def _synthesize_fullsize_state(template_params, seed=0):
             tshape = (k * d,)
         else:
             tshape = shape
-        v = (rng.randn(*tshape) * 0.05).astype(np.float32)
+        v = np.asarray(rng.randn(*tshape) * 0.05, np.float32)
         if tkey.endswith(".running_var"):
             v = np.abs(v) + 1.0
         elif tkey.endswith(".A_logs"):

@@ -280,3 +280,73 @@ def test_ss2d_module_golden(ref_modules):
 
     got = ours.apply({"params": params}, jnp.asarray(x), jnp.asarray(cemb))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_vit_clip_parity(ref_modules):
+    """Micro ViT CLIP (int vision_layers) vs the reference class
+    (src/DACLIP.py:401-447, 469-487), converted via the build_model-style
+    state-dict dispatch (src/DACLIP.py:609-648)."""
+    _, DACLIP, _ = ref_modules
+    import torch
+
+    from founddiff_tpu.utils.torch_convert import (
+        build_clip_from_state_dict,
+        infer_clip_config,
+    )
+    from tests.reference_compat import FAKE_VOCAB, state_dict_numpy
+
+    torch.manual_seed(0)
+    ref = DACLIP.CLIP(
+        embed_dim=64,
+        image_resolution=32,
+        vision_layers=2,          # int -> VisionTransformer
+        vision_width=64,          # heads = width // 64 = 1
+        vision_patch_size=8,
+        context_length=77,
+        vocab_size=FAKE_VOCAB,
+        transformer_width=32,
+        transformer_heads=4,
+        transformer_layers=2,
+    ).eval()
+    sd = state_dict_numpy(ref)
+
+    cfg = infer_clip_config(sd)
+    assert cfg["vision_layers"] == 2
+    assert cfg["vision_patch_size"] == 8
+    assert cfg["image_resolution"] == 32
+    assert cfg["transformer_layers"] == 2
+
+    module, params = build_clip_from_state_dict(sd, transformer_heads=4)
+
+    rs = np.random.RandomState(3)
+    img = rs.rand(2, 3, 32, 32).astype(np.float32) * 2 - 1
+
+    with torch.no_grad():
+        want_plain = ref.encode_image(torch.tensor(img), False).numpy()
+        want_pos = ref.visual(torch.tensor(img), pos_embedding=True).numpy()
+
+    img_nhwc = jnp.asarray(img.transpose(0, 2, 3, 1))
+    got_plain = module.apply(
+        {"params": params}, img_nhwc,
+        method=lambda m, v: m.encode_image(v, pos_embedding=False),
+    )
+    got_pos = module.apply(
+        {"params": params}, img_nhwc,
+        method=lambda m, v: m.encode_image(v, pos_embedding=True),
+    )
+    np.testing.assert_allclose(np.asarray(got_plain), want_plain,
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_pos), want_pos,
+                               rtol=1e-3, atol=1e-4)
+
+    # full forward (logits) with fake token ids
+    from tests.reference_compat import fake_tokenize
+
+    ids = fake_tokenize(["a b c", "d e f g"])
+    with torch.no_grad():
+        want_logits, _ = ref(torch.tensor(img), ids)
+    got_logits, _ = module.apply(
+        {"params": params}, img_nhwc, jnp.asarray(ids.numpy())
+    )
+    np.testing.assert_allclose(np.asarray(got_logits), want_logits.numpy(),
+                               rtol=2e-3, atol=2e-4)

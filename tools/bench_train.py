@@ -25,6 +25,8 @@ def main():
     p.add_argument("--accum", type=int, default=2)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--scan_impl", default="auto")
+    p.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"],
+                   help="bf16 = bf16 compute / fp32 master weights")
     p.add_argument("--tower", action="store_true",
                    help="include the frozen Dose-CLIP tower in the step")
     args = p.parse_args()
@@ -41,6 +43,7 @@ def main():
     cfg.diffusion.image_size = args.size
     cfg.train.train_batch_size = args.batch
     cfg.train.gradient_accumulate_every = args.accum
+    cfg.train.mixed_precision = "bf16" if args.dtype == "bf16" else "no"
     cfg.train.checkpoint_folder = "/tmp/bench_train"
     diffusion, model, params = build(cfg)
     trainer = Trainer(diffusion, params, cfg, model=model)
