@@ -68,6 +68,23 @@ def _a_log_init(key, shape, dtype=jnp.float32):
     return jnp.log(jnp.broadcast_to(a, (K, D, N))).astype(dtype)
 
 
+class _DenseKernel(nn.Module):
+    """Bare bias-free Dense kernel param (path ``<name>/kernel`` identical
+    to :class:`founddiff_tpu.models.blocks.TorchDense` for the checkpoint
+    converter) — lets the fused epilogue consume out_proj's weight without
+    instantiating the dense module."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", torch_kernel_init, (self.in_features, self.features),
+            jnp.float32,
+        )
+
+
 class _AffineParams(nn.Module):
     """Bare LayerNorm affine params (paths ``<name>/scale``, ``<name>/bias``
     stay identical to :class:`LNorm` for the checkpoint converter)."""
@@ -116,9 +133,17 @@ class SS2D(nn.Module):
         return int(m.shape["seq"])
 
     @nn.compact
-    def __call__(self, x, c=None, deterministic: bool = True):
-        """x: [B, H, W, d_model]; c: [B, 1, context_dim] content embedding."""
+    def __call__(self, x, c=None, deterministic: bool = True, gate=None,
+                 residual=None):
+        """x: [B, H, W, d_model]; c: [B, 1, context_dim] content embedding.
+
+        ``gate`` [B, d_model] + ``residual`` [B, H, W, d_model] (both or
+        neither): the MambaBlock tail ``residual + gate * SS2D(x)`` is
+        computed HERE — on the fused TPU path it folds into the epilogue
+        kernel together with out_proj, so the 2*d_model-channel epilogue
+        output never round-trips HBM."""
         B, H, W, _ = x.shape
+        assert (gate is None) == (residual is None)
         d_inner = int(self.ssm_ratio * self.d_model)
         R = self.dt_rank or -(-self.d_model // 16)
         N = self.d_state
@@ -176,6 +201,25 @@ class SS2D(nn.Module):
 
             ln_scale, ln_bias = _AffineParams(d_inner, name="out_norm")()
             cond_local = local[:, 0] if c is not None else None
+            # fold out_proj + adaLN gate + residual add into the epilogue
+            # when there is no bias/dropout in the way (the shipped config:
+            # use_bias=False, dropout=0.0) — removes the Pallas->dense
+            # relayout boundary and two elementwise image passes
+            fold_proj = (
+                gate is not None
+                and not self.use_bias
+                and self.dropout == 0.0
+            )
+            fold_kw = {}
+            if fold_proj:
+                proj_kernel = _DenseKernel(
+                    self.d_model, d_inner, name="out_proj"
+                )()
+                fold_kw = dict(
+                    proj_w=proj_kernel.astype(x.dtype),
+                    gate=gate.astype(x.dtype),
+                    residual_x=residual,
+                )
             if image_scan_vmem_ok(H, W, d_inner, N):
                 # image-direct path: decimation rides the scan kernels'
                 # block DMA; merge+LN+silu-gate+cond fuse into the epilogue
@@ -188,7 +232,7 @@ class SS2D(nn.Module):
                 )
                 y = merge_ln_gate_split(
                     ys_rows, ys_cols, z, ln_scale, ln_bias, cond_local,
-                    H=H, W=W, eps=1e-5, gate_silu=True,
+                    H=H, W=W, eps=1e-5, gate_silu=True, **fold_kw,
                 )
             else:
                 # deep scales: decimated fused kernel + joint epilogue
@@ -197,8 +241,10 @@ class SS2D(nn.Module):
                 )
                 y = merge_ln_gate(
                     ys, z, ln_scale, ln_bias, cond_local,
-                    H=H, W=W, eps=1e-5, gate_silu=True,
+                    H=H, W=W, eps=1e-5, gate_silu=True, **fold_kw,
                 )
+            if fold_proj:
+                return y  # out_proj/gate/residual already applied in-kernel
         else:
             ys = self._scan_core(xs, H, W, d_inner, R, N, K, impl=impl)
             y = LNorm(d_inner, eps=1e-5, name="out_norm")(ys)
@@ -207,7 +253,10 @@ class SS2D(nn.Module):
                 # broadcast [B,1,1,d_inner] over H, W
                 y = y + local[:, :, None, :]
         out = dense(self.d_model, use_bias=self.use_bias, name="out_proj")(y)
-        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        if gate is not None:
+            out = residual + gate[:, None, None, :].astype(out.dtype) * out
+        return out
 
     def _scan_params(self, d_inner, R, N, K):
         """Stacked per-direction scan parameters
@@ -369,7 +418,9 @@ class MambaBlock(nn.Module):
         x1 = layer_norm_modulated(
             x, n1_scale, n1_bias, scale_msa, shift_msa, eps=1e-5
         )
-        x = x + gate_msa[:, None, None, :] * SS2D(
+        # gate + residual handed to SS2D so the fused TPU path can fold the
+        # whole ``x + gate * out_proj(...)`` tail into its epilogue kernel
+        x = SS2D(
             d_model=h,
             d_state=self.d_state,
             ssm_ratio=self.expand,
@@ -377,7 +428,7 @@ class MambaBlock(nn.Module):
             scan_impl=self.scan_impl,
             mesh=self.mesh,
             name="mamba",
-        )(x1, c, deterministic=deterministic)
+        )(x1, c, deterministic=deterministic, gate=gate_msa, residual=x)
 
         x2 = layer_norm_modulated(
             x, None, None, scale_mlp, shift_mlp, eps=1e-6

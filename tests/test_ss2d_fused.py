@@ -83,3 +83,44 @@ def test_merge_ln_gate_op():
     want = _merge_ln_gate_xla(ys, z, scale, bias, local, H, W, 1e-5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fold_proj_matches_unfused(pair):
+    """gate/residual folding (out_proj + adaLN gate + residual in the
+    epilogue kernel) must equal the unfused composition, fwd and grads."""
+    x, c, ref, fused, params = pair
+    rs = np.random.RandomState(5)
+    gate = jnp.asarray(rs.randn(2, 32), jnp.float32) * 0.3
+    res = jnp.asarray(rs.randn(2, 8, 12, 32), jnp.float32)
+
+    want = ref.apply({"params": params}, x, c, gate=gate, residual=res)
+    got = fused.apply({"params": params}, x, c, gate=gate, residual=res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss(m, p):
+        return jnp.sum(
+            m.apply({"params": p}, x, c, gate=gate, residual=res) ** 2
+        )
+
+    g_ref = jax.grad(lambda p: loss(ref, p))(params)
+    g_fused = jax.grad(lambda p: loss(fused, p))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
+        ),
+        g_ref, g_fused,
+    )
+
+
+def test_fold_proj_param_tree_stable(pair):
+    """The _DenseKernel-backed out_proj path must keep the exact param
+    structure of the TorchDense path (checkpoint-converter invariant)."""
+    x, c, ref, fused, params = pair
+    rs = np.random.RandomState(6)
+    gate = jnp.asarray(rs.randn(2, 32), jnp.float32)
+    res = jnp.zeros_like(x)
+    p2 = fused.init(jax.random.PRNGKey(0), x, c, gate=gate, residual=res)[
+        "params"
+    ]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
