@@ -172,12 +172,56 @@ class SS2D(nn.Module):
             # projection-materializing path under shard_map
         )
 
+        from founddiff_tpu.models.blocks import conv2d
+
+        # fully-fused block path: the scan kernels produce the FINAL
+        # MambaBlock output (epilogue + out_proj + adaLN gate + residual
+        # in-kernel, z computed in-kernel from x via the MXU) — the z half
+        # of in_proj, the direction sequences ys, and the separate epilogue
+        # kernel never touch HBM (ops/ss2d_block.py)
+        fold_proj = (
+            gate is not None and not self.use_bias and self.dropout == 0.0
+        )
+        if fuse_epilogue and fold_proj:
+            from founddiff_tpu.ops.ss2d_block import (
+                block_scan_ok,
+                ss2d_image_block,
+            )
+
+            if block_scan_ok(H, W, d_inner, N):
+                in_w = _DenseKernel(
+                    2 * d_inner, self.d_model, name="in_proj"
+                )()
+                xs = jnp.einsum(
+                    "bhwc,cd->bhwd", x, in_w[:, :d_inner].astype(x.dtype)
+                )
+                xs = conv2d(
+                    d_inner, self.d_conv, padding="SAME",
+                    feature_group_count=d_inner, use_bias=self.conv_bias,
+                    name="dwconv",
+                )(xs)
+                xs = nn.silu(xs)
+                ln_scale, ln_bias = _AffineParams(d_inner, name="out_norm")()
+                proj_kernel = _DenseKernel(
+                    self.d_model, d_inner, name="out_proj"
+                )()
+                xw, dtw, dt_bias, A_logs, Ds = self._scan_params(
+                    d_inner, R, N, K
+                )
+                return ss2d_image_block(
+                    x, xs, residual,
+                    w_z=in_w[:, d_inner:], x_proj_weight=xw,
+                    dt_projs_weight=dtw, A=-jnp.exp(A_logs), Dskip=Ds,
+                    delta_bias=dt_bias, ln_g=ln_scale, ln_b=ln_bias,
+                    local=local[:, 0] if c is not None else None,
+                    proj_w=proj_kernel, gate=gate,
+                    dt_rank=R, d_state=N, delta_softplus=True, eps=1e-5,
+                )
+
         xz = dense(2 * d_inner, use_bias=self.use_bias, name="in_proj")(x)
         xs, z = jnp.split(xz, 2, axis=-1)
         if not fuse_epilogue:
             z = nn.silu(z)  # fused path applies silu(z) inside the epilogue
-
-        from founddiff_tpu.models.blocks import conv2d
 
         xs = conv2d(
             d_inner,

@@ -1,0 +1,477 @@
+"""Fully-fused SS2D block: scan + complete epilogue in the scan kernels.
+
+TPU-native rebuild of the whole SS2D tail (reference src/emamba2.py:690-751
+``forward_corev2`` + ``forward``) *and* the Mamba_block residual tail
+(reference src/DADiff.py:484 ``x + gate * out``), fused into the two
+image-direct scan kernels:
+
+    out = x_raw + gate * out_proj( LN(scan(xs)) * silu(x1 @ W_z) + local )
+
+Key observation: the EfficientMerge interleave (src/emamba2.py:236-263)
+assigns each output PIXEL to exactly one scan direction — out[2i,2j]=dir0,
+out[2i+1,2j]=dir1, out[2i,2j+1]=dir2, out[2i+1,2j+1]=dir3 — and every
+epilogue op (out_norm LayerNorm, silu(z) gating, conditioning add, out_proj,
+adaLN gating, residual add) is pointwise over pixels.  So the row-direction
+scan kernel can produce the FINAL block output for the even rows and the
+column-direction kernel for the odd rows, and the intermediate direction
+sequences ``ys`` (the largest activation of the block), the separate
+epilogue kernel, and the z half of ``in_proj``'s output never touch HBM.
+
+Per 512^2 SS2D at batch 8 this removes ~2.7 GB of HBM traffic (ys write +
+read, z write + read) plus the epilogue kernel launch and its Pallas-
+boundary relayout copies.
+
+The two kernels write disjoint row-parity planes of ONE output buffer: the
+column call aliases the row call's output (``input_output_aliases``), so the
+halves combine in place with no interleave copy.
+
+Backward (training) remats through the XLA composition + the Pallas scan
+backward via custom VJP, the same pattern as ``ops.ss2d_fused``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from founddiff_tpu.ops.scan_pallas import (
+    _pick_tile,
+    _resolve_tiles,
+    _scan_image,
+    _tile_scan,
+)
+
+
+def _scan_block_kernel(x_ref, x1_ref, xr_ref, wz_ref, wd_ref, wb_ref, wc_ref,
+                       a_ref, d_ref, bias_ref, lng_ref, lnb_ref, loc_ref,
+                       pw_ref, gate_ref, o_ref, h_ref, *, chunk: int,
+                       subchunk: int, softplus: bool, col_major: bool,
+                       D: int, C0: int, eps: float, has_local: bool):
+    """One grid cell: scan both pixel-parity directions of one orientation
+    AND apply the full epilogue, writing final block-output pixels.
+
+    Row variant blocks: x [1, s, 1, W2, 2D] (pi=0 xs_conv plane),
+      x1/xr/o [1, s, 1, W2, 2C0].
+    Col variant blocks: x [1, H2, 1, s, 2D] (pi=1 plane),
+      x1/xr/o [1, H2, 1, s, 2C0].
+    wz [1, 2C0, 2D] / pw [1, 2D, 2C0]: block-diagonal pair-stacked
+    projections; lng/lnb [1, D]; loc [1, 2D] and gate [1, 2C0] pair-tiled
+    per batch.  Scratch h_ref: [B, 2, N, D].
+
+    ``subchunk``: the [N, *, D] scan work arrays are materialized
+    ``subchunk`` timesteps at a time (statically unrolled) so deep UNet
+    scales (large N*D) stay within VMEM; the state carry chains across
+    sub-chunks exactly as across grid cells.
+    """
+    S = chunk
+    SC = subchunk
+    n_sub = S // SC
+    b = pl.program_id(1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        h_ref[b] = jnp.zeros_like(h_ref[b])
+
+    TILE = _pick_tile(SC)
+    ntiles = SC // TILE
+    local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, SC, 1), 1) % TILE
+
+    def seq(ref, lanes):
+        t = ref[0, :, 0, :, :]
+        if col_major:
+            t = jnp.swapaxes(t, 0, 1)
+        return t.reshape(S, lanes)
+
+    pair = seq(x_ref, 2 * D)          # xs_conv, io dtype
+    x1p = seq(x1_ref, 2 * C0)         # modulated block input (z source)
+    # z for both parities in one MXU matmul; rounded to io dtype so the
+    # gating matches the unfused path's bf16 in_proj output bit-for-bit
+    zp = jax.lax.dot_general(
+        x1p, wz_ref[0].astype(x1p.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(pair.dtype)              # [S, 2D]
+    xrp = seq(xr_ref, 2 * C0).astype(jnp.float32)  # residual (raw x)
+
+    lng = lng_ref[0].astype(jnp.float32)
+    lnb = lnb_ref[0].astype(jnp.float32)
+
+    outs = []
+    for j in (0, 1):
+        x_io = pair[:, j * D : (j + 1) * D]  # lane-aligned static slice
+        u = x_io.astype(jnp.float32)
+        dl_raw = (
+            jax.lax.dot_general(
+                x_io, wd_ref[0, j].astype(x_io.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bias_ref[0, j]
+        )
+        dl = jax.nn.softplus(dl_raw) if softplus else dl_raw
+        bmat = jnp.swapaxes(
+            jax.lax.dot_general(
+                x_io, wb_ref[0, j].astype(x_io.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ), 0, 1,
+        )[:, :, None]
+        cmat = jnp.swapaxes(
+            jax.lax.dot_general(
+                x_io, wc_ref[0, j].astype(x_io.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ), 0, 1,
+        )[:, :, None]
+        a_g = a_ref[0, j]
+
+        carry = h_ref[b, j]
+        ys = []
+        for q in range(n_sub):  # static unroll; sub-chunk slices 8-aligned
+            sl = slice(q * SC, (q + 1) * SC)
+            abar = jnp.exp(dl[sl][None, :, :] * a_g[:, None, :])
+            bbar = (dl[sl] * u[sl])[None, :, :] * bmat[:, sl]
+            a_sc, b_sc = _tile_scan(abar, bbar, TILE, local_idx)
+            h_all, carry = _resolve_tiles(a_sc, b_sc, carry, TILE, ntiles)
+            ys.append(jnp.sum(h_all * cmat[:, sl], axis=0))
+        y = (jnp.concatenate(ys, axis=0) if n_sub > 1 else ys[0])
+        y = y + d_ref[0, j] * u  # [S, D] f32
+        h_ref[b, j] = carry
+
+        # epilogue, per direction: out_norm LN + silu(z) gate
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(y * y, axis=-1, keepdims=True) - mean * mean
+        yn = (y - mean) * jax.lax.rsqrt(var + eps) * lng + lnb
+        zj = zp[:, j * D : (j + 1) * D].astype(jnp.float32)
+        outs.append(yn * (zj * jax.nn.sigmoid(zj)))
+
+    op = jnp.concatenate(outs, axis=1)  # [S, 2D] pair-stacked
+    if has_local:
+        op = op + loc_ref[0].astype(jnp.float32)
+    # out_proj (pair-blockdiag) on the MXU + adaLN gate + residual add
+    fp = jax.lax.dot_general(
+        op.astype(pair.dtype), pw_ref[0].astype(pair.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [S, 2C0]
+    fin = xrp + gate_ref[0].astype(jnp.float32) * fp
+
+    if col_major:
+        fin = jnp.swapaxes(fin.reshape(-1, o_ref.shape[1], 2 * C0), 0, 1)
+    else:
+        fin = fin.reshape(o_ref.shape[1], -1, 2 * C0)
+    o_ref[0, :, 0, :, :] = fin.astype(o_ref.dtype)
+
+
+_WORK_BUDGET = 24 * 1024 * 1024  # [N, SC, D] fp32 work arrays (~4 live)
+_SINGLE_BUDGET = 40 * 1024 * 1024
+
+
+def _pick_block_geom(major, minor, D, N, B, col_major):
+    """(s, SC): column-block width and interior sub-chunk length.
+
+    Prefers the legacy single-pass geometry (``_pick_image_s``); deep UNet
+    scales (large N*D) fall back to s=8 (Mosaic-legal) with the scan
+    sub-chunked ``SC`` steps at a time inside the kernel."""
+    if major % 8 == 0:
+        s = 8  # Mosaic-legal at every scale; grid C = major/8 pipelines DMA
+    elif col_major:
+        s = major  # 'full dim' is always Mosaic-legal
+    else:
+        s = major if major < 8 else 8
+        while s > 1 and major % s:
+            s //= 2
+    S = s * minor
+    per = 4 * N * D * 4
+    sc = min(S, max(8, _WORK_BUDGET // per))
+    while sc > 1 and (S % sc or (sc % 8 and sc != S)):
+        sc -= 1
+    return s, max(sc, 1)
+
+
+def block_scan_ok(H: int, W: int, d_inner: int, d_state: int) -> bool:
+    """Whether the fully-fused block kernels handle this shape: even H/W
+    (step-2 decimation) and a Mosaic-legal geometry whose largest live
+    VMEM residents fit the budget at every orientation."""
+    if H % 2 or W % 2 or H < 4 or W < 4:
+        return False
+    H2, W2 = H // 2, W // 2
+    for col in (False, True):
+        minor = H2 if col else W2
+        major = W2 if col else H2
+        s, sc = _pick_block_geom(major, minor, d_inner, d_state, 1, col)
+        if s <= 0 or (major % s) or ((s * minor) % sc):
+            return False
+        if 4 * d_state * sc * d_inner * 4 > _SINGLE_BUDGET:
+            return False
+        # full-sequence [S, 2D]-class residents (pair/zp/y/op, ~6 fp32-ish)
+        if 6 * (s * minor) * 2 * d_inner * 4 > 48 * 1024 * 1024:
+            return False
+    return True
+
+
+def _pair_blockdiag(w):
+    """[Ci, Co] -> [[w, 0], [0, w]] [2Ci, 2Co] so both pixel parities ride
+    one lane-aligned MXU matmul."""
+    ci, co = w.shape
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], axis=1), jnp.concatenate([z, w], axis=1)],
+        axis=0,
+    )
+
+
+def _block_call(x5, x1v, xrv, wz2, w_delta, w_b, w_c, a_k, d_k, bias_k,
+                lng, lnb, locp, pw2, gatep, *, col_major: bool,
+                softplus: bool, eps: float, has_local: bool, out_alias=None):
+    """One orientation of the fused block.  x5: [B, H2, 2, W2, 2D];
+    x1v/xrv: [B, H2, 2, W2, 2C0]; weights pre-stacked per orientation.
+    Writes the orientation's row-parity plane of a [B, H2, 2, W2, 2C0]
+    output; ``out_alias`` (the other orientation's output) is donated so the
+    planes combine in place."""
+    B, H2, _, W2, DD = x5.shape
+    D = DD // 2
+    C0 = x1v.shape[-1] // 2
+    N = a_k.shape[1]
+    minor = H2 if col_major else W2
+    major = W2 if col_major else H2
+    s, SC = _pick_block_geom(major, minor, D, N, B, col_major)
+    assert s > 0 and major % s == 0, "caller must gate on block_scan_ok"
+    S = s * minor
+    C = major // s
+
+    if col_major:
+        x_spec = pl.BlockSpec(
+            (1, H2, 1, s, 2 * D), lambda c, b: (b, 0, 1, c, 0),
+            memory_space=pltpu.VMEM,
+        )
+        img_spec = pl.BlockSpec(
+            (1, H2, 1, s, 2 * C0), lambda c, b: (b, 0, 1, c, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        x_spec = pl.BlockSpec(
+            (1, s, 1, W2, 2 * D), lambda c, b: (b, c, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        img_spec = pl.BlockSpec(
+            (1, s, 1, W2, 2 * C0), lambda c, b: (b, c, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    per_k = lambda *dims: pl.BlockSpec(
+        (1, 2) + dims, lambda c, b: (0, 0) + (0,) * len(dims),
+        memory_space=pltpu.VMEM,
+    )
+    full2 = lambda d0, d1: pl.BlockSpec(
+        (1, d0, d1), lambda c, b: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    vec = lambda d: pl.BlockSpec(
+        (1, d), lambda c, b: (0, 0), memory_space=pltpu.VMEM
+    )
+    # per-batch vectors carry a dummy middle dim so the block's last two
+    # dims equal the array dims (Mosaic block-shape rule)
+    bvec = lambda d: pl.BlockSpec(
+        (1, 1, d), lambda c, b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(
+        _scan_block_kernel, chunk=S, subchunk=SC, softplus=softplus,
+        col_major=col_major, D=D, C0=C0, eps=eps, has_local=has_local,
+    )
+    inputs = [
+        x5, x1v, xrv, wz2[None], w_delta[None], w_b[None], w_c[None],
+        a_k[None], d_k[None], bias_k[None], lng.reshape(1, D),
+        lnb.reshape(1, D), locp[:, None, :], pw2[None], gatep[:, None, :],
+    ]
+    in_specs = [
+        x_spec, img_spec, img_spec,
+        full2(2 * C0, 2 * D),                       # wz blockdiag
+        per_k(D, D), per_k(D, N), per_k(D, N),      # scan projections
+        per_k(N, D), per_k(1, D), per_k(1, D),      # A, Dskip, bias
+        vec(D), vec(D),                             # out_norm affine
+        bvec(2 * D),                                # local (pair-tiled)
+        full2(2 * D, 2 * C0),                       # out_proj blockdiag
+        bvec(2 * C0),                               # adaLN gate (pair-tiled)
+    ]
+    kwargs = {}
+    if out_alias is not None:
+        # donate the other orientation's output: this call fills the
+        # complementary row-parity plane in place
+        inputs.append(out_alias)
+        in_specs.append(
+            # minimal Mosaic-legal block (8-row sliver); the ref is unused —
+            # the alias only donates the buffer
+            pl.BlockSpec(
+                (1, 1, 1, 8, 2 * C0), lambda c, b: (0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        kwargs["input_output_aliases"] = {len(inputs) - 1: 0}
+    out = pl.pallas_call(
+        # with an aliased extra input, drop its (unused) ref before the
+        # kernel body: refs = 15 real inputs [+ alias] + out + scratch
+        (kernel if out_alias is None else
+         (lambda *refs: kernel(*refs[:15], *refs[16:]))),
+        interpret=jax.default_backend() != "tpu",
+        grid=(C, B),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, s, 1, W2, 2 * C0) if not col_major else (1, H2, 1, s, 2 * C0),
+            (lambda c, b: (b, c, 0, 0, 0)) if not col_major
+            else (lambda c, b: (b, 0, 1, c, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H2, 2, W2, 2 * C0), xrv.dtype),
+        scratch_shapes=[pltpu.VMEM((B, 2, N, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(
+                60 * B * H2 * W2 * 2 * N * D
+                + 4 * B * H2 * W2 * 2 * D * (D + 2 * N + 4 * C0)
+            ),
+            bytes_accessed=int(
+                B * H2 * W2 * 2 * (2 * D + 3 * 2 * C0) * x5.dtype.itemsize
+            ),
+            transcendentals=2 * B * H2 * W2 * 2 * N * D,
+        ),
+        **kwargs,
+    )(*inputs)
+    return out
+
+
+def _derive_weights(x_proj_weight, dt_projs_weight, dt_rank, d_state):
+    R, N = dt_rank, d_state
+    wx = x_proj_weight
+    w_delta = jnp.einsum("krd,ker->kde", wx[:, :R, :], dt_projs_weight)
+    w_b = jnp.transpose(wx[:, R : R + N, :], (0, 2, 1))
+    w_c = jnp.transpose(wx[:, R + N : R + 2 * N, :], (0, 2, 1))
+    return w_delta, w_b, w_c
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
+def _ss2d_image_block(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip,
+                      delta_bias, ln_g, ln_b, local, proj_w, gate,
+                      delta_softplus, has_local, eps):
+    return _ss2d_image_block_fwd_only(
+        x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip, delta_bias,
+        ln_g, ln_b, local, proj_w, gate, delta_softplus, has_local, eps,
+    )
+
+
+def _ss2d_image_block_fwd_only(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A,
+                               Dskip, delta_bias, ln_g, ln_b, local, proj_w,
+                               gate, delta_softplus, has_local, eps):
+    B, H, W, D = xs_conv.shape
+    C0 = x_raw.shape[-1]
+    x5 = xs_conv.reshape(B, H // 2, 2, W // 2, 2 * D)
+    x1v = x1.reshape(B, H // 2, 2, W // 2, 2 * C0)
+    xrv = x_raw.reshape(B, H // 2, 2, W // 2, 2 * C0)
+
+    a_k = jnp.transpose(A.astype(jnp.float32), (0, 2, 1))  # [K, N, D]
+    d_k = Dskip.astype(jnp.float32)[:, None, :]
+    bias_k = delta_bias.astype(jnp.float32)[:, None, :]
+    io = xs_conv.dtype
+    wz2 = _pair_blockdiag(w_z.astype(io))
+    pw2 = _pair_blockdiag(proj_w.astype(io))
+    locp = jnp.concatenate([local, local], axis=-1)  # [B, 2D]
+    gatep = jnp.concatenate([gate, gate], axis=-1).astype(io)  # [B, 2C0]
+
+    rows_idx = jnp.asarray([0, 2])  # (pi=0): row-major dirs
+    cols_idx = jnp.asarray([1, 3])  # (pi=1): column-major dirs
+    pick = lambda w, idx: w[idx]
+    common = dict(softplus=delta_softplus, eps=eps, has_local=has_local)
+    out_rows = _block_call(
+        x5, x1v, xrv, wz2, pick(w_delta, rows_idx), pick(w_b, rows_idx),
+        pick(w_c, rows_idx), pick(a_k, rows_idx), pick(d_k, rows_idx),
+        pick(bias_k, rows_idx), ln_g, ln_b, locp, pw2, gatep,
+        col_major=False, **common,
+    )
+    out = _block_call(
+        x5, x1v, xrv, wz2, pick(w_delta, cols_idx), pick(w_b, cols_idx),
+        pick(w_c, cols_idx), pick(a_k, cols_idx), pick(d_k, cols_idx),
+        pick(bias_k, cols_idx), ln_g, ln_b, locp, pw2, gatep,
+        col_major=True, out_alias=out_rows, **common,
+    )
+    return out.reshape(B, H, W, C0)
+
+
+def _xla_compose(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip,
+                 delta_bias, ln_g, ln_b, local, proj_w, gate,
+                 delta_softplus, has_local, eps):
+    """Unfused reference composition (the VJP remat path); the scan itself
+    still uses the Pallas image kernels + Pallas backward."""
+    from founddiff_tpu.ops.ss2d_fused import _merge_ln_gate_xla
+
+    B, H, W, _ = xs_conv.shape
+    ys_rows, ys_cols = _scan_image(
+        xs_conv, w_delta, w_b, w_c, A, Dskip, delta_bias, delta_softplus
+    )
+    ys = jnp.stack(
+        [ys_rows[:, 0], ys_cols[:, 0], ys_rows[:, 1], ys_cols[:, 1]], axis=1
+    )
+    z = jnp.einsum("bhwc,cd->bhwd", x1, w_z.astype(x1.dtype))
+    return _merge_ln_gate_xla(
+        ys, z, ln_g, ln_b, local if has_local else None, H, W, eps,
+        gate_silu=True, proj_w=proj_w, gate=gate, rx=x_raw,
+    )
+
+
+def _sib_fwd(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip,
+             delta_bias, ln_g, ln_b, local, proj_w, gate, delta_softplus,
+             has_local, eps):
+    out = _ss2d_image_block_fwd_only(
+        x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip, delta_bias,
+        ln_g, ln_b, local, proj_w, gate, delta_softplus, has_local, eps,
+    )
+    return out, (x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip,
+                 delta_bias, ln_g, ln_b, local, proj_w, gate)
+
+
+def _sib_bwd(delta_softplus, has_local, eps, res, g):
+    args = res
+    _, vjp = jax.vjp(
+        lambda *a: _xla_compose(*a, delta_softplus, has_local, eps), *args
+    )
+    return vjp(g)
+
+
+_ss2d_image_block.defvjp(_sib_fwd, _sib_bwd)
+
+
+def ss2d_image_block(
+    x1, xs_conv, x_raw,
+    w_z, x_proj_weight, dt_projs_weight, A, Dskip, delta_bias,
+    ln_g, ln_b, local, proj_w, gate,
+    dt_rank: int, d_state: int, delta_softplus: bool = True,
+    eps: float = 1e-5,
+):
+    """The complete fused SS2D + MambaBlock-tail:
+
+        x_raw + gate * out_proj( LN(scan(xs_conv)) * silu(x1 @ w_z) + local )
+
+    x1: [B,H,W,C0] modulated block input; xs_conv: [B,H,W,D] post-dwconv
+    scan input; x_raw: [B,H,W,C0] residual; w_z: [C0,D] (z half of in_proj);
+    proj_w: [D,C0]; gate: [B,C0]; local: [B,D] or None; ln_g/ln_b: [D].
+    Requires even H/W, step_size=2 and ``image_scan_vmem_ok``.
+    """
+    w_delta, w_b, w_c = _derive_weights(
+        x_proj_weight, dt_projs_weight, dt_rank, d_state
+    )
+    has_local = local is not None
+    if local is None:
+        local = jnp.zeros((x1.shape[0], xs_conv.shape[-1]), xs_conv.dtype)
+    io = xs_conv.dtype
+    return _ss2d_image_block(
+        x1, xs_conv, x_raw, w_z.astype(io), w_delta.astype(io),
+        w_b.astype(io), w_c.astype(io), A, Dskip, delta_bias, ln_g, ln_b,
+        local, proj_w, gate, delta_softplus, has_local, eps,
+    )
+
+
+__all__ = ["ss2d_image_block", "block_scan_ok"]
