@@ -24,15 +24,23 @@ class WSConv(nn.Module):
 
     Kernel is standardized over (kh, kw, in) per output channel at call time
     with biased variance; eps follows the reference's dtype switch.
+
+    ``skip``: a second input whose channels logically follow ``x``'s —
+    ``WSConv()(x, skip)`` computes exactly ``WSConv()(concat([x, skip]))``
+    (same kernel param, standardized jointly, then split along the input-
+    channel dim) without ever materializing the concatenated image in HBM.
+    The reference concatenates (src/DADiff.py:725-731); on TPU the concat
+    copy costs a full extra HBM pass per decoder stage.
     """
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, skip=None):
         kh, kw = self.kernel_size
-        in_ch = x.shape[-1]
+        c1 = x.shape[-1]
+        in_ch = c1 + (skip.shape[-1] if skip is not None else 0)
         fan_in = in_ch * kh * kw
         kernel = self.param(
             "kernel", torch_kernel_init, (kh, kw, in_ch, self.features), jnp.float32
@@ -44,13 +52,19 @@ class WSConv(nn.Module):
         mean = kernel.mean(axis=(0, 1, 2), keepdims=True)
         var = kernel.var(axis=(0, 1, 2), keepdims=True)
         kernel = (kernel - mean) * jax.lax.rsqrt(var + eps)
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),
-            window_strides=(1, 1),
-            padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+
+        def conv(u, k):
+            return jax.lax.conv_general_dilated(
+                u,
+                k.astype(u.dtype),
+                window_strides=(1, 1),
+                padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        y = conv(x, kernel[:, :, :c1])
+        if skip is not None:
+            y = y + conv(skip, kernel[:, :, c1:])
         return y + bias.astype(y.dtype)
 
 
@@ -66,9 +80,15 @@ class TorchConv(nn.Module):
     feature_group_count: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, skip=None):
+        """``skip``: second input whose channels follow ``x``'s — equivalent
+        to calling on ``concat([x, skip], -1)`` without the concat copy
+        (ungrouped convs only); see :class:`WSConv`."""
         kh, kw = self.kernel_size
-        in_ch = x.shape[-1] // self.feature_group_count
+        c1 = x.shape[-1]
+        total = c1 + (skip.shape[-1] if skip is not None else 0)
+        assert skip is None or self.feature_group_count == 1
+        in_ch = total // self.feature_group_count
         fan_in = in_ch * kh * kw
         kernel = self.param(
             "kernel", torch_kernel_init, (kh, kw, in_ch, self.features),
@@ -79,14 +99,20 @@ class TorchConv(nn.Module):
             if isinstance(self.strides, int)
             else self.strides
         )
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),
-            window_strides=strides,
-            padding=self.padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.feature_group_count,
-        )
+
+        def conv(u, k):
+            return jax.lax.conv_general_dilated(
+                u,
+                k.astype(u.dtype),
+                window_strides=strides,
+                padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.feature_group_count,
+            )
+
+        y = conv(x, kernel if skip is None else kernel[:, :, :c1])
+        if skip is not None:
+            y = y + conv(skip, kernel[:, :, c1:])
         if self.use_bias:
             bias = self.param(
                 "bias", make_torch_bias_init(fan_in), (self.features,),
@@ -262,10 +288,10 @@ class Block(nn.Module):
     groups: int = 8
 
     @nn.compact
-    def __call__(self, x, scale_shift=None, residual=None):
+    def __call__(self, x, scale_shift=None, residual=None, skip=None):
         from founddiff_tpu.ops.groupnorm_pallas import group_norm_silu
 
-        x = WSConv(self.dim_out, (3, 3), name="proj")(x)
+        x = WSConv(self.dim_out, (3, 3), name="proj")(x, skip)
         scale, bias = _GNAffine(self.dim_out, name="norm")()
         if scale_shift is not None:
             B, C = x.shape[0], x.shape[-1]
@@ -286,12 +312,18 @@ class ResnetBlock(nn.Module):
     groups: int = 8
 
     @nn.compact
-    def __call__(self, x, time_emb=None):
+    def __call__(self, x, time_emb=None, skip=None):
+        """``skip``: decoder skip tensor, logically concatenated after
+        ``x``'s channels (reference torch.cat src/DADiff.py:725-731) but fed
+        through split-kernel convs so the concat never rides HBM."""
         res = x
-        if x.shape[-1] != self.dim_out:
-            res = conv2d(self.dim_out, 1, name="res_conv")(x)
+        total = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+        if total != self.dim_out:
+            res = conv2d(self.dim_out, 1, name="res_conv")(x, skip)
+        else:
+            assert skip is None
         return Block(self.dim_out, groups=self.groups, name="block1")(
-            x, residual=res
+            x, residual=res, skip=skip
         )
 
 

@@ -167,6 +167,14 @@ class ModifiedResNet(nn.Module):
     @nn.compact
     def __call__(self, x, pos_embedding: bool = False, return_features: bool = False):
         w = self.width
+        # the tower reduces 32x spatially; inputs below 32 px (micro test
+        # towers) would collapse to an empty grid before the attention pool
+        # (the torch reference errors identically) — upsample them first
+        B, H, W, C = x.shape
+        if H < 32 or W < 32:
+            x = jax.image.resize(
+                x, (B, max(H, 32), max(W, 32), C), method="bilinear"
+            )
         # 3-conv stem with avgpool
         x = nn.relu(FrozenBatchNorm(w // 2, name="bn1")(
             nn.Conv(w // 2, (3, 3), strides=2, padding=((1, 1), (1, 1)),

@@ -178,10 +178,10 @@ class Unet(nn.Module):
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == num_res - 1
             level = num_res - 1 - ind
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            # skip-concat rides split-kernel convs (no concat copy in HBM)
             x = ResnetBlock(
                 dim_out, groups=self.resnet_block_groups, name=f"up_{ind}_res"
-            )(x)
+            )(x, skip=skips.pop())
             x = MambaBlock(
                 hidden_size=dim_out,
                 d_state=d_state_for(level),
@@ -198,10 +198,9 @@ class Unet(nn.Module):
         out_dim = self.out_dim or self.channels * (
             1 if not self.learned_variance else 2
         )
-        x = jnp.concatenate([x, r], axis=-1)
         x = ResnetBlock(
             dim, groups=self.resnet_block_groups, name="final_res_block"
-        )(x)
+        )(x, skip=r)
         return conv2d(out_dim, 1, name="final_conv")(x)
 
 

@@ -48,24 +48,28 @@ from founddiff_tpu.ops.scan_pallas import (
 
 def _scan_block_kernel(x_ref, x1_ref, xr_ref, wz_ref, wd_ref, wb_ref, wc_ref,
                        a_ref, d_ref, bias_ref, lng_ref, lnb_ref, loc_ref,
-                       pw_ref, gate_ref, o_ref, h_ref, *, chunk: int,
+                       pw_ref, gate_ref, o_ref, h_ref, pair_s_ref, y_s_ref,
+                       *, chunk: int,
                        subchunk: int, softplus: bool, col_major: bool,
                        D: int, C0: int, eps: float, has_local: bool):
     """One grid cell: scan both pixel-parity directions of one orientation
     AND apply the full epilogue, writing final block-output pixels.
 
-    Row variant blocks: x [1, s, 1, W2, 2D] (pi=0 xs_conv plane),
-      x1/xr/o [1, s, 1, W2, 2C0].
-    Col variant blocks: x [1, H2, 1, s, 2D] (pi=1 plane),
-      x1/xr/o [1, H2, 1, s, 2C0].
-    wz [1, 2C0, 2D] / pw [1, 2D, 2C0]: block-diagonal pair-stacked
-    projections; lng/lnb [1, D]; loc [1, 2D] and gate [1, 2C0] pair-tiled
-    per batch.  Scratch h_ref: [B, 2, N, D].
+    Row variant blocks: x [1, s, 1, W, D] (pi=0 xs_conv plane),
+      x1/xr/o [1, s, 1, W, C0].
+    Col variant blocks: x [1, H2, 1, ws, D] (pi=1 plane),
+      x1/xr/o [1, H2, 1, ws, C0].
+    wz [1, C0, D] / pw [1, D, C0]: raw projections (the epilogue runs in
+    flat pixel order, so no pair stacking); lng/lnb [1, D]; loc [1, 1, D]
+    and gate [1, 1, C0] per batch.  Scratch h_ref: [B, 2, N, D].
 
     ``subchunk``: the [N, *, D] scan work arrays are materialized
-    ``subchunk`` timesteps at a time (statically unrolled) so deep UNet
-    scales (large N*D) stay within VMEM; the state carry chains across
-    sub-chunks exactly as across grid cells.
+    ``subchunk`` timesteps at a time so deep UNet scales (large N*D) stay
+    within VMEM; the sub-chunks run as ONE ``fori_loop`` body (a static
+    unroll keeps every iteration's work arrays live on the Mosaic stack —
+    measured 127 MB at the mid scale) staged through the ``pair_s``/``y_s``
+    VMEM scratch, and the state carry chains across sub-chunks exactly as
+    across grid cells.
     """
     S = chunk
     SC = subchunk
@@ -80,28 +84,42 @@ def _scan_block_kernel(x_ref, x1_ref, xr_ref, wz_ref, wd_ref, wb_ref, wc_ref,
     ntiles = SC // TILE
     local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, SC, 1), 1) % TILE
 
-    def seq(ref, lanes):
+    def seq(ref):
+        """xs block -> [S, 2D] pair-lane scan sequence, entirely in VMEM.
+
+        Blocks arrive as H-split-only views ([B, H2, 2, W, D] — a true
+        bitcast of the NHWC image; lane-merged [.., W2, 2D] HBM views are
+        PHYSICAL reshapes on TPU tiled layouts, ~1.5 ms/tensor at 512^2).
+        The in-VMEM lane merge moves whole vregs (D >= 128 always for
+        d_inner).  Rows: [s, W, D] -> [S, 2D] merges column pairs into
+        lanes; cols additionally transpose to column-major order."""
         t = ref[0, :, 0, :, :]
         if col_major:
-            t = jnp.swapaxes(t, 0, 1)
-        return t.reshape(S, lanes)
+            t = t.reshape(t.shape[0], t.shape[1] // 2, 2, D)
+            t = jnp.transpose(t, (1, 0, 2, 3))  # [ws2, H2, 2, D]
+        return t.reshape(S, 2 * D)
 
-    pair = seq(x_ref, 2 * D)          # xs_conv, io dtype
-    x1p = seq(x1_ref, 2 * C0)         # modulated block input (z source)
-    # z for both parities in one MXU matmul; rounded to io dtype so the
-    # gating matches the unfused path's bf16 in_proj output bit-for-bit
-    zp = jax.lax.dot_general(
-        x1p, wz_ref[0].astype(x1p.dtype), (((1,), (0,)), ((), ())),
+    def flat(ref):
+        """C0-channel block -> [2S, C0] in flat pixel order (a pure sublane
+        relabel — C0 < 128 lane merges are unsupported shape casts)."""
+        return ref[0, :, 0, :, :].reshape(2 * S, C0)
+
+    pair = seq(x_ref)                 # xs_conv, io dtype
+    # z for ALL the block's pixels in one MXU matmul, flat pixel order;
+    # rounded to io dtype so the gating matches the unfused path's bf16
+    # in_proj output bit-for-bit
+    zf = jax.lax.dot_general(
+        flat(x1_ref), wz_ref[0].astype(x1_ref.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(pair.dtype)              # [S, 2D]
-    xrp = seq(xr_ref, 2 * C0).astype(jnp.float32)  # residual (raw x)
+    ).astype(pair.dtype)              # [2S, D]
+    xrf = flat(xr_ref).astype(jnp.float32)  # residual (raw x)
 
     lng = lng_ref[0].astype(jnp.float32)
     lnb = lnb_ref[0].astype(jnp.float32)
 
-    outs = []
-    for j in (0, 1):
-        x_io = pair[:, j * D : (j + 1) * D]  # lane-aligned static slice
+    def dir_step(x_io, j, carry):
+        """Scan ``x_io`` [SC, D] (one direction, one sub-chunk) from state
+        ``carry`` [N, D]; returns (y [SC, D] f32, new carry)."""
         u = x_io.astype(jnp.float32)
         dl_raw = (
             jax.lax.dot_general(
@@ -127,46 +145,63 @@ def _scan_block_kernel(x_ref, x1_ref, xr_ref, wz_ref, wd_ref, wb_ref, wc_ref,
             ), 0, 1,
         )[:, :, None]
         a_g = a_ref[0, j]
+        abar = jnp.exp(dl[None, :, :] * a_g[:, None, :])
+        bbar = (dl * u)[None, :, :] * bmat
+        a_sc, b_sc = _tile_scan(abar, bbar, TILE, local_idx)
+        h_all, carry = _resolve_tiles(a_sc, b_sc, carry, TILE, ntiles)
+        return jnp.sum(h_all * cmat, axis=0) + d_ref[0, j] * u, carry
 
-        carry = h_ref[b, j]
-        ys = []
-        for q in range(n_sub):  # static unroll; sub-chunk slices 8-aligned
-            sl = slice(q * SC, (q + 1) * SC)
-            abar = jnp.exp(dl[sl][None, :, :] * a_g[:, None, :])
-            bbar = (dl[sl] * u[sl])[None, :, :] * bmat[:, sl]
-            a_sc, b_sc = _tile_scan(abar, bbar, TILE, local_idx)
-            h_all, carry = _resolve_tiles(a_sc, b_sc, carry, TILE, ntiles)
-            ys.append(jnp.sum(h_all * cmat[:, sl], axis=0))
-        y = (jnp.concatenate(ys, axis=0) if n_sub > 1 else ys[0])
-        y = y + d_ref[0, j] * u  # [S, D] f32
-        h_ref[b, j] = carry
+    dir_ys = []
+    if n_sub == 1:
+        for j in (0, 1):
+            y, carry = dir_step(pair[:, j * D : (j + 1) * D], j, h_ref[b, j])
+            h_ref[b, j] = carry
+            dir_ys.append(y)
+    else:
+        # sub-chunked: one fori body (work arrays reused) staged via scratch
+        pair_s_ref[...] = pair
+        for j in (0, 1):
 
-        # epilogue, per direction: out_norm LN + silu(z) gate
-        mean = jnp.mean(y, axis=-1, keepdims=True)
-        var = jnp.mean(y * y, axis=-1, keepdims=True) - mean * mean
-        yn = (y - mean) * jax.lax.rsqrt(var + eps) * lng + lnb
-        zj = zp[:, j * D : (j + 1) * D].astype(jnp.float32)
-        outs.append(yn * (zj * jax.nn.sigmoid(zj)))
+            def body(q, h, j=j):
+                off = pl.multiple_of(q * SC, SC)
+                y_q, h = dir_step(
+                    pair_s_ref[pl.ds(off, SC), j * D : (j + 1) * D], j, h
+                )
+                y_s_ref[j, pl.ds(off, SC), :] = y_q
+                return h
 
-    op = jnp.concatenate(outs, axis=1)  # [S, 2D] pair-stacked
+            h_ref[b, j] = jax.lax.fori_loop(0, n_sub, body, h_ref[b, j])
+        dir_ys = [y_s_ref[0], y_s_ref[1]]
+
+    # interleave the two directions' outputs back to FLAT pixel order
+    # (sublane relabels + one full-vreg transpose for cols), then run the
+    # whole epilogue vectorized over all the block's pixels
+    yp = jnp.stack(dir_ys, axis=1)  # [S, 2, D]
+    if col_major:
+        H2 = o_ref.shape[1]
+        yp = jnp.transpose(yp.reshape(-1, H2, 2, D), (1, 0, 2, 3))
+    yf = yp.reshape(2 * S, D)
+
+    mean = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(yf * yf, axis=-1, keepdims=True) - mean * mean
+    yn = (yf - mean) * jax.lax.rsqrt(var + eps) * lng + lnb
+    zf32 = zf.astype(jnp.float32)
+    og = yn * (zf32 * jax.nn.sigmoid(zf32))
     if has_local:
-        op = op + loc_ref[0].astype(jnp.float32)
-    # out_proj (pair-blockdiag) on the MXU + adaLN gate + residual add
+        og = og + loc_ref[0].astype(jnp.float32)  # [1, D] broadcast
+    # out_proj on the MXU + adaLN gate + residual add
     fp = jax.lax.dot_general(
-        op.astype(pair.dtype), pw_ref[0].astype(pair.dtype),
+        og.astype(pair.dtype), pw_ref[0].astype(pair.dtype),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [S, 2C0]
-    fin = xrp + gate_ref[0].astype(jnp.float32) * fp
-
-    if col_major:
-        fin = jnp.swapaxes(fin.reshape(-1, o_ref.shape[1], 2 * C0), 0, 1)
-    else:
-        fin = fin.reshape(o_ref.shape[1], -1, 2 * C0)
-    o_ref[0, :, 0, :, :] = fin.astype(o_ref.dtype)
+    )  # [2S, C0]
+    fin = xrf + gate_ref[0].astype(jnp.float32) * fp
+    o_ref[0, :, 0, :, :] = fin.reshape(o_ref.shape[1], -1, C0).astype(
+        o_ref.dtype
+    )
 
 
-_WORK_BUDGET = 24 * 1024 * 1024  # [N, SC, D] fp32 work arrays (~4 live)
+_WORK_BUDGET = 16 * 1024 * 1024  # [N, SC, D] fp32 work arrays (~4 live)
 _SINGLE_BUDGET = 40 * 1024 * 1024
 
 
@@ -213,28 +248,18 @@ def block_scan_ok(H: int, W: int, d_inner: int, d_state: int) -> bool:
     return True
 
 
-def _pair_blockdiag(w):
-    """[Ci, Co] -> [[w, 0], [0, w]] [2Ci, 2Co] so both pixel parities ride
-    one lane-aligned MXU matmul."""
-    ci, co = w.shape
-    z = jnp.zeros_like(w)
-    return jnp.concatenate(
-        [jnp.concatenate([w, z], axis=1), jnp.concatenate([z, w], axis=1)],
-        axis=0,
-    )
-
-
 def _block_call(x5, x1v, xrv, wz2, w_delta, w_b, w_c, a_k, d_k, bias_k,
                 lng, lnb, locp, pw2, gatep, *, col_major: bool,
                 softplus: bool, eps: float, has_local: bool, out_alias=None):
-    """One orientation of the fused block.  x5: [B, H2, 2, W2, 2D];
-    x1v/xrv: [B, H2, 2, W2, 2C0]; weights pre-stacked per orientation.
-    Writes the orientation's row-parity plane of a [B, H2, 2, W2, 2C0]
-    output; ``out_alias`` (the other orientation's output) is donated so the
-    planes combine in place."""
-    B, H2, _, W2, DD = x5.shape
-    D = DD // 2
-    C0 = x1v.shape[-1] // 2
+    """One orientation of the fused block.  x5: [B, H2, 2, W, D];
+    x1v/xrv: [B, H2, 2, W, C0] — H-split-only views (true bitcasts of the
+    NHWC images; the pair merge happens in VMEM, see ``seq``); weights
+    pre-stacked per orientation.  Writes the orientation's row-parity plane
+    of a [B, H2, 2, W, C0] output; ``out_alias`` (the other orientation's
+    output) is donated so the planes combine in place."""
+    B, H2, _, W, D = x5.shape
+    W2 = W // 2
+    C0 = x1v.shape[-1]
     N = a_k.shape[1]
     minor = H2 if col_major else W2
     major = W2 if col_major else H2
@@ -244,21 +269,22 @@ def _block_call(x5, x1v, xrv, wz2, w_delta, w_b, w_c, a_k, d_k, bias_k,
     C = major // s
 
     if col_major:
+        ws = 2 * s  # block width in image columns (both pair parities)
         x_spec = pl.BlockSpec(
-            (1, H2, 1, s, 2 * D), lambda c, b: (b, 0, 1, c, 0),
+            (1, H2, 1, ws, D), lambda c, b: (b, 0, 1, c, 0),
             memory_space=pltpu.VMEM,
         )
         img_spec = pl.BlockSpec(
-            (1, H2, 1, s, 2 * C0), lambda c, b: (b, 0, 1, c, 0),
+            (1, H2, 1, ws, C0), lambda c, b: (b, 0, 1, c, 0),
             memory_space=pltpu.VMEM,
         )
     else:
         x_spec = pl.BlockSpec(
-            (1, s, 1, W2, 2 * D), lambda c, b: (b, c, 0, 0, 0),
+            (1, s, 1, W, D), lambda c, b: (b, c, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         img_spec = pl.BlockSpec(
-            (1, s, 1, W2, 2 * C0), lambda c, b: (b, c, 0, 0, 0),
+            (1, s, 1, W, C0), lambda c, b: (b, c, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -285,17 +311,17 @@ def _block_call(x5, x1v, xrv, wz2, w_delta, w_b, w_c, a_k, d_k, bias_k,
     inputs = [
         x5, x1v, xrv, wz2[None], w_delta[None], w_b[None], w_c[None],
         a_k[None], d_k[None], bias_k[None], lng.reshape(1, D),
-        lnb.reshape(1, D), locp[:, None, :], pw2[None], gatep[:, None, :],
+        lnb.reshape(1, D), locp, pw2[None], gatep,
     ]
     in_specs = [
         x_spec, img_spec, img_spec,
-        full2(2 * C0, 2 * D),                       # wz blockdiag
+        full2(C0, D),                               # wz (z half of in_proj)
         per_k(D, D), per_k(D, N), per_k(D, N),      # scan projections
         per_k(N, D), per_k(1, D), per_k(1, D),      # A, Dskip, bias
         vec(D), vec(D),                             # out_norm affine
-        bvec(2 * D),                                # local (pair-tiled)
-        full2(2 * D, 2 * C0),                       # out_proj blockdiag
-        bvec(2 * C0),                               # adaLN gate (pair-tiled)
+        bvec(D),                                    # local [B, 1, D]
+        full2(D, C0),                               # out_proj
+        bvec(C0),                                   # adaLN gate [B, 1, C0]
     ]
     kwargs = {}
     if out_alias is not None:
@@ -306,7 +332,7 @@ def _block_call(x5, x1v, xrv, wz2, w_delta, w_b, w_c, a_k, d_k, bias_k,
             # minimal Mosaic-legal block (8-row sliver); the ref is unused —
             # the alias only donates the buffer
             pl.BlockSpec(
-                (1, 1, 1, 8, 2 * C0), lambda c, b: (0, 0, 0, 0, 0),
+                (1, 1, 1, 8, C0), lambda c, b: (0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -320,15 +346,21 @@ def _block_call(x5, x1v, xrv, wz2, w_delta, w_b, w_c, a_k, d_k, bias_k,
         grid=(C, B),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, s, 1, W2, 2 * C0) if not col_major else (1, H2, 1, s, 2 * C0),
+            (1, s, 1, W, C0) if not col_major else (1, H2, 1, ws, C0),
             (lambda c, b: (b, c, 0, 0, 0)) if not col_major
             else (lambda c, b: (b, 0, 1, c, 0)),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H2, 2, W2, 2 * C0), xrv.dtype),
-        scratch_shapes=[pltpu.VMEM((B, 2, N, D), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, H2, 2, W, C0), xrv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B, 2, N, D), jnp.float32),   # carried scan states
+            pltpu.VMEM((S, 2 * D), x5.dtype),        # staged pair sequence
+            pltpu.VMEM((2, S, D), jnp.float32),      # per-direction y
+        ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # deep scales carry double-buffered [D, D]-class weights plus
+            # the sub-chunked work arrays; v5e has 128M VMEM/core
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(
@@ -369,18 +401,21 @@ def _ss2d_image_block_fwd_only(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A,
                                gate, delta_softplus, has_local, eps):
     B, H, W, D = xs_conv.shape
     C0 = x_raw.shape[-1]
-    x5 = xs_conv.reshape(B, H // 2, 2, W // 2, 2 * D)
-    x1v = x1.reshape(B, H // 2, 2, W // 2, 2 * C0)
-    xrv = x_raw.reshape(B, H // 2, 2, W // 2, 2 * C0)
+    # H-split-only views: true bitcasts of the NHWC images whatever the
+    # channel count (lane-merged [.., W2, 2ch] views are physical reshapes
+    # on TPU tiled layouts); the pair merge happens inside the kernels
+    x5 = xs_conv.reshape(B, H // 2, 2, W, D)
+    x1v = x1.reshape(B, H // 2, 2, W, C0)
+    xrv = x_raw.reshape(B, H // 2, 2, W, C0)
 
     a_k = jnp.transpose(A.astype(jnp.float32), (0, 2, 1))  # [K, N, D]
     d_k = Dskip.astype(jnp.float32)[:, None, :]
     bias_k = delta_bias.astype(jnp.float32)[:, None, :]
     io = xs_conv.dtype
-    wz2 = _pair_blockdiag(w_z.astype(io))
-    pw2 = _pair_blockdiag(proj_w.astype(io))
-    locp = jnp.concatenate([local, local], axis=-1)  # [B, 2D]
-    gatep = jnp.concatenate([gate, gate], axis=-1).astype(io)  # [B, 2C0]
+    wz2 = w_z.astype(io)
+    pw2 = proj_w.astype(io)
+    locp = local[:, None, :]           # [B, 1, D]
+    gatep = gate[:, None, :].astype(io)  # [B, 1, C0]
 
     rows_idx = jnp.asarray([0, 2])  # (pi=0): row-major dirs
     cols_idx = jnp.asarray([1, 3])  # (pi=1): column-major dirs
@@ -405,16 +440,37 @@ def _xla_compose(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip,
                  delta_bias, ln_g, ln_b, local, proj_w, gate,
                  delta_softplus, has_local, eps):
     """Unfused reference composition (the VJP remat path); the scan itself
-    still uses the Pallas image kernels + Pallas backward."""
+    still uses the Pallas image kernels + Pallas backward, falling back to
+    the decimated [B, K, L, D] kernel at deep scales where the image
+    kernels' single-pass chunk would blow VMEM (same gate as the model's
+    unfused path, models/ss2d.py)."""
+    from founddiff_tpu.ops.scan_pallas import image_scan_vmem_ok
     from founddiff_tpu.ops.ss2d_fused import _merge_ln_gate_xla
 
-    B, H, W, _ = xs_conv.shape
-    ys_rows, ys_cols = _scan_image(
-        xs_conv, w_delta, w_b, w_c, A, Dskip, delta_bias, delta_softplus
-    )
-    ys = jnp.stack(
-        [ys_rows[:, 0], ys_cols[:, 0], ys_rows[:, 1], ys_cols[:, 1]], axis=1
-    )
+    B, H, W, D = xs_conv.shape
+    N = A.shape[-1]
+    if image_scan_vmem_ok(H, W, D, N):
+        ys_rows, ys_cols = _scan_image(
+            xs_conv, w_delta, w_b, w_c, A, Dskip, delta_bias, delta_softplus
+        )
+        ys = jnp.stack(
+            [ys_rows[:, 0], ys_cols[:, 0], ys_rows[:, 1], ys_cols[:, 1]],
+            axis=1,
+        )
+    else:
+        from founddiff_tpu.ops.selective_scan import (
+            efficient_scan,
+            selective_scan,
+        )
+
+        xs = efficient_scan(xs_conv, 2)  # [B, K, L, D]
+        dts = jnp.einsum("bkld,kde->bkle", xs, w_delta.astype(xs.dtype))
+        Bs = jnp.einsum("bkld,kdn->bkln", xs, w_b.astype(xs.dtype))
+        Cs = jnp.einsum("bkld,kdn->bkln", xs, w_c.astype(xs.dtype))
+        ys = selective_scan(
+            xs, dts, A, Bs, Cs, Dskip, delta_bias=delta_bias,
+            delta_softplus=delta_softplus,
+        ).astype(xs_conv.dtype)
     z = jnp.einsum("bhwc,cd->bhwd", x1, w_z.astype(x1.dtype))
     return _merge_ln_gate_xla(
         ys, z, ln_g, ln_b, local if has_local else None, H, W, eps,

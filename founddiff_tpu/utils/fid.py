@@ -5,8 +5,9 @@ steps (src/DADiff.py:1746-1747) — a script that is absent from the repo.
 This module provides the real capability:
 
 - :func:`frechet_distance` — the Frechet distance between two gaussians,
-  with a JAX Newton-Schulz matrix square root (no scipy dependency on
-  device; scipy.linalg.sqrtm is used for verification in tests).
+  via a host float64 eigendecomposition robust to the rank-deficient
+  covariances of small eval batches (scipy.linalg.sqrtm verifies it in
+  tests; feature extraction stays on device).
 - :func:`fid_from_features` / :func:`compute_fid` — end-to-end FID given a
   feature extractor.  The default extractor is the framework's own frozen
   CLIP RN50 visual tower (the canonical InceptionV3 weights cannot be
@@ -24,38 +25,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _sqrtm_newton_schulz(a: jnp.ndarray, num_iters: int = 50) -> jnp.ndarray:
-    """Matrix square root of a PSD matrix via Newton-Schulz iteration."""
-    dim = a.shape[0]
-    norm = jnp.sqrt(jnp.sum(a * a))
-    y = a / norm
-    z = jnp.eye(dim, dtype=a.dtype)
-    eye3 = 3.0 * jnp.eye(dim, dtype=a.dtype)
-
-    def body(_, carry):
-        y, z = carry
-        t = 0.5 * (eye3 - z @ y)
-        return y @ t, t @ z
-
-    y, _ = jax.lax.fori_loop(0, num_iters, body, (y, z))
-    return y * jnp.sqrt(norm)
+def _trace_sqrtm_psd_product(s1: np.ndarray, s2: np.ndarray) -> float:
+    """tr(sqrtm(s1 @ s2)) for PSD s1, s2 via the symmetric-product trick:
+    s1 s2 is similar to sqrt(s1) s2 sqrt(s1) (PSD), whose eigenvalues are
+    real and >= 0, so the trace is the sum of their square roots.  Unlike a
+    Newton-Schulz iteration this cannot diverge on the rank-deficient
+    covariances of small evaluation batches (N << D): negative eigenvalue
+    noise is clamped to zero, matching scipy.sqrtm(...).real conventions."""
+    w1, v1 = np.linalg.eigh(s1)
+    sq1 = (v1 * np.sqrt(np.clip(w1, 0.0, None))) @ v1.T
+    m = sq1 @ s2 @ sq1
+    w = np.linalg.eigvalsh((m + m.T) / 2.0)
+    return float(np.sum(np.sqrt(np.clip(w, 0.0, None))))
 
 
-def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> jnp.ndarray:
-    """FID between N(mu1, sigma1) and N(mu2, sigma2)."""
-    # fp32: jax defaults to 32-bit; the Newton-Schulz iteration is stable in
-    # fp32 for the feature dims used here (scipy-verified in tests)
-    mu1, mu2 = jnp.asarray(mu1, jnp.float32), jnp.asarray(mu2, jnp.float32)
-    sigma1 = jnp.asarray(sigma1, jnp.float32)
-    sigma2 = jnp.asarray(sigma2, jnp.float32)
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """FID between N(mu1, sigma1) and N(mu2, sigma2).
+
+    Host float64 eigendecomposition (the matrices are [D, D] with D the
+    feature dim — tiny next to the extractor work, which stays on device),
+    the same math as the reference pipeline's pytorch-fid/scipy.sqrtm path
+    (fid_and_inception_score.py)."""
+    mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
+    sigma1 = np.asarray(sigma1, np.float64)
+    sigma2 = np.asarray(sigma2, np.float64)
     diff = mu1 - mu2
-    offset = eps * jnp.eye(sigma1.shape[0], dtype=sigma1.dtype)
-    covmean = _sqrtm_newton_schulz((sigma1 + offset) @ (sigma2 + offset))
-    return (
-        diff @ diff
-        + jnp.trace(sigma1)
-        + jnp.trace(sigma2)
-        - 2.0 * jnp.trace(covmean)
+    offset = eps * np.eye(sigma1.shape[0])
+    tr_covmean = _trace_sqrtm_psd_product(sigma1 + offset, sigma2 + offset)
+    return float(
+        diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2.0 * tr_covmean
     )
 
 
@@ -77,8 +75,18 @@ def make_clip_extractor(params, clipiqa_module, batch_size: int = 8) -> Callable
     """Feature extractor from the frozen Dose-CLIP visual tower: [N,H,W,1]
     CT slices in [0,1] -> [N, embed_dim] image features."""
 
+    res = int(getattr(clipiqa_module, "backbone_resolution", 224))
+
     @jax.jit
     def embed(p, x):
+        # the RN50 tower reduces 32x spatially; resize to the tower's
+        # native resolution so every input (including micro eval batches
+        # smaller than the reduction factor) sees the same protocol — the
+        # reference's FID script likewise resizes for its extractor
+        if x.shape[1] != res or x.shape[2] != res:
+            x = jax.image.resize(
+                x, (x.shape[0], res, res, x.shape[-1]), method="bilinear"
+            )
         rgb = jnp.repeat(x * 2.0 - 1.0, 3, axis=-1)
         return clipiqa_module.apply(
             {"params": p},

@@ -149,8 +149,11 @@ def test_dp_train_step_matches_single_device(tmp_path):
     params_b = jax.device_get(new_b.params)
 
     assert abs(loss_a - loss_b) < 1e-5
+    # rtol headroom: the sharded grad all-reduce sums in a different order
+    # than the single-device reduction (fp32 reassociation, observed up to
+    # ~1.5e-4 relative); a genuinely wrong gradient differs at %-level
     jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5),
         params_a,
         params_b,
     )
