@@ -122,7 +122,16 @@ def main():
     params = load_extractor_params(args, tower)
     extractor = make_clip_extractor(params, tower)
     fid = compute_fid(gen, ref, extractor)
-    print(json.dumps({"fid": fid, "n_generated": len(gen), "n_reference": len(ref)}))
+    # ``fid_doseclip``, not ``fid``: features come from the Dose-CLIP tower,
+    # not InceptionV3 (unavailable air-gapped) — do NOT compare the value
+    # against published Inception-feature FIDs.
+    print(json.dumps({
+        "fid_doseclip": fid,
+        "feature_extractor": "dose-clip-visual (not InceptionV3; value is "
+                             "not comparable to published FIDs)",
+        "n_generated": len(gen),
+        "n_reference": len(ref),
+    }))
 
 
 if __name__ == "__main__":

@@ -106,9 +106,13 @@ class ClipTokenizer:
             opener = gzip.open if path.endswith(".gz") else open
             with opener(path, "rt", encoding="utf-8") as f:
                 lines = f.read().split("\n")
-            # stock file: merges occupy lines [1, 49152-256-2+1)
+            # stock file: merges occupy lines [1, 49152-256-2+1); shorter
+            # tables (tests/fixtures) just end early — drop blank/malformed
+            # lines so trailing newlines don't become empty merges
             merges = [
-                tuple(line.split()) for line in lines[1 : 49152 - 256 - 2 + 1]
+                m
+                for line in lines[1 : 49152 - 256 - 2 + 1]
+                if len(m := tuple(line.split())) == 2
             ]
         merges = [tuple(m) for m in merges]
 

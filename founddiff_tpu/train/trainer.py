@@ -502,7 +502,11 @@ class Trainer:
             "rmse": float(np.mean(rmses)) if rmses else float("nan"),
         }
         if fid and fid_pred:
-            summary["fid"] = float(self._compute_fid(fid_pred, fid_gt))
+            # Keyed ``fid_doseclip``, NOT ``fid``: the extractor is the frozen
+            # Dose-CLIP visual tower (InceptionV3 weights cannot be downloaded
+            # in an air-gapped environment, utils/fid.py:1-18), so the number
+            # is not comparable to published Inception-feature FIDs.
+            summary["fid_doseclip"] = float(self._compute_fid(fid_pred, fid_gt))
         if self.is_main:
             self.metrics.log(
                 {f"test_{k}": v for k, v in summary.items()},

@@ -141,6 +141,33 @@ def test_bootstrap_prompt_learner_layout():
     assert params["token_suffix"].shape == (2, 60, width)
 
 
+FIXTURE_GZ = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "bpe_tiny_vocab.txt.gz")
+
+
+def test_gzip_bpe_file_loading(monkeypatch):
+    """The on-disk gzip loading path (header line skipped, one merge per
+    line, stock-format slice bounds) with the committed tiny fixture —
+    byte-identical tokenization to the in-memory merge table, via both the
+    explicit ``bpe_path`` argument and ``$FOUNDDIFF_CLIP_BPE``."""
+    mem = ClipTokenizer(merges=SYNTH_MERGES)
+    disk = ClipTokenizer(bpe_path=FIXTURE_GZ)
+    assert disk.vocab_size == mem.vocab_size
+    for text in TEXTS:
+        assert disk.encode(text) == mem.encode(text), text
+    np.testing.assert_array_equal(
+        disk.tokenize(list(CT_PROMPTS), 77), mem.tokenize(list(CT_PROMPTS), 77)
+    )
+    monkeypatch.setenv("FOUNDDIFF_CLIP_BPE", FIXTURE_GZ)
+    via_env = ClipTokenizer()
+    assert via_env.encode(TEXTS[0]) == mem.encode(TEXTS[0])
+    # prompt bootstrap through the file-loaded table: EOT derived, not assumed
+    table = np.random.RandomState(0).randn(disk.vocab_size, 8).astype(np.float32)
+    params, eot, _ = bootstrap_prompt_learner(table, disk)
+    ids = disk.tokenize([" ".join(["X"] * 16) + " " + p for p in CT_PROMPTS], 77)
+    assert eot == tuple(int(i) for i in ids.argmax(axis=-1))
+
+
 @pytest.mark.skipif(
     not os.path.exists(
         os.environ.get(
@@ -148,7 +175,9 @@ def test_bootstrap_prompt_learner_layout():
             os.path.expanduser("~/.cache/clip/bpe_simple_vocab_16e6.txt.gz"),
         )
     ),
-    reason="stock CLIP BPE vocab not available in this environment",
+    reason="stock CLIP BPE vocab (external 1.3 MB asset) not in this "
+    "environment; the gzip loading path itself is covered by "
+    "test_gzip_bpe_file_loading",
 )
 def test_real_vocab_ct_prompts():
     """With the real merge table: the reference prompts' EOT positions and

@@ -262,8 +262,13 @@ def test_test_protocol_with_fid(tmp_path):
     assert abs(self_fid) < 1e-2, self_fid
 
     summary = trainer.test(fid=True, fid_limit=6)
-    assert "fid" in summary
-    assert np.isfinite(summary["fid"]) and summary["fid"] >= -1e-3
+    # key is fid_doseclip (NOT fid): Dose-CLIP features, not InceptionV3 —
+    # the label keeps the number from being quoted against published FIDs
+    assert "fid_doseclip" in summary and "fid" not in summary
+    assert (
+        np.isfinite(summary["fid_doseclip"])
+        and summary["fid_doseclip"] >= -1e-3
+    )
 
 
 def test_train_loop_fires_fid_eval(tmp_path, monkeypatch):
