@@ -101,6 +101,35 @@ class TorchConv(nn.Module):
         )
 
         def conv(u, k):
+            # im2col fast path for tiny input channels: the TPU conv
+            # emitter runs ~25x off roofline at C_in < 8 (init_conv's
+            # 7x7 2->64 measured 3.1 ms vs a 0.13 ms roofline at 512^2
+            # bs8).  One shifted-slice concat pass + one MXU matmul.
+            if (
+                u.shape[-1] <= 4
+                and kh * kw > 4
+                and strides == (1, 1)
+                and self.padding == "SAME"
+                and self.feature_group_count == 1
+            ):
+                B, H, W, Ci = u.shape
+                up = jnp.pad(
+                    u, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2),
+                        (0, 0))
+                )
+                cols = jnp.concatenate(
+                    [
+                        up[:, i : i + H, j : j + W, :]
+                        for i in range(kh)
+                        for j in range(kw)
+                    ],
+                    axis=-1,
+                )
+                kmat = k.astype(u.dtype).reshape(kh * kw * Ci, -1)
+                return jax.lax.dot_general(
+                    cols, kmat, (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(u.dtype)
             return jax.lax.conv_general_dilated(
                 u,
                 k.astype(u.dtype),
@@ -384,20 +413,37 @@ class _ConvKernel(nn.Module):
 class TransposedAttention(nn.Module):
     """Channel ('transposed') attention: C x C attention with the pixel axis
     contracted, never materializing L x L (reference src/DADiff.py:252-285).
-    The context argument is accepted and ignored, as in the reference."""
+    The context argument is accepted and ignored, as in the reference.
+
+    ``fused_mod=(scale_mlp, shift_mlp, gate_mlp)``: serving fast path — ``x``
+    is then the PRE-norm MambaBlock state and the whole half-block
+    ``x + gate * attn(modulate(LN(x)))`` runs as one Pallas kernel per image
+    (:mod:`founddiff_tpu.ops.attn_block`), all params identical."""
 
     dim: int
     heads: int
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x, c=None):
+    def __call__(self, x, c=None, fused_mod=None):
         B, H, W, C = x.shape
         hd, ch = self.heads, C // self.heads
         temperature = self.param(
             "temperature", nn.initializers.ones, (self.heads, 1, 1), jnp.float32
         )
         assert not self.use_bias, "reference TransposedAttention has no bias"
+        if fused_mod is not None:
+            from founddiff_tpu.ops.attn_block import attn_block
+
+            scale_mlp, shift_mlp, gate_mlp = fused_mod
+            qkv_w4 = _ConvKernel((1, 1, C, 3 * C), name="qkv")()
+            dw_w4 = _ConvKernel((3, 3, 1, 3 * C), name="qkv_dwconv")()
+            proj4 = _ConvKernel((1, 1, C, C), name="project_out")()
+            return attn_block(
+                x, scale_mlp, shift_mlp, gate_mlp,
+                qkv_w4[0, 0], dw_w4, temperature, proj4,
+                heads=hd, eps=1e-6,
+            )
         # the qkv 1x1 conv and the depthwise 3x3 keep their reference param
         # layout, but the q/k vs v SPLIT happens on the (tiny) WEIGHTS, not
         # the activations — no big output slices/relayouts downstream

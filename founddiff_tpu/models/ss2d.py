@@ -474,6 +474,19 @@ class MambaBlock(nn.Module):
             name="mamba",
         )(x1, c, deterministic=deterministic, gate=gate_msa, residual=x)
 
+        impl = self.scan_impl
+        if impl == "auto":
+            impl = "pallas_fused" if jax.default_backend() == "tpu" else "chunked"
+        if not self.cross:
+            from founddiff_tpu.ops.attn_block import attn_block_ok
+
+            B, H, W, _ = x.shape
+            if impl == "pallas_fused" and attn_block_ok(H, W, h):
+                # whole second half (LN+modulate+TransposedAttention+gated
+                # residual) as one Pallas kernel per image (ops/attn_block)
+                return TransposedAttention(
+                    dim=h, heads=max(1, h // 32), name="attn_blk"
+                )(x, c, fused_mod=(scale_mlp, shift_mlp, gate_mlp))
         x2 = layer_norm_modulated(
             x, None, None, scale_mlp, shift_mlp, eps=1e-6
         )

@@ -127,11 +127,35 @@ def _gn_silu_fwd(x, scale, bias, residual, groups, eps, has_res):
 def _gn_silu_xla(x, scale, bias, residual, groups, eps, has_res):
     B, H, W, C = x.shape
     G = groups
-    xf = x.astype(jnp.float32).reshape(B, H * W, G, C // G)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = jnp.mean(xf * xf, axis=(1, 3), keepdims=True) - mean * mean
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(B, H, W, C)
+    if os.environ.get("FOUNDDIFF_GN_STATS", "mxu") == "mxu":
+        # r4: the naive convert+reduce stats cost ~12 ms/fwd at 512^2 (the
+        # TPU reduce emitter runs ~25x off bandwidth on these shapes).  Ride
+        # the MXU instead: per-channel sums as a ones-matvec and sumsq as
+        # the diagonal of a [C, C] Gram — bf16 inputs with f32 accumulation
+        # (bf16 products are exact in f32, so this matches the f32-convert
+        # reduction up to summation order).
+        x2 = x.reshape(B, H * W, C)
+        s1 = jnp.einsum(
+            "blc,l->bc", x2, jnp.ones((H * W,), x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        gram = jnp.einsum(
+            "blc,bld->bcd", x2, x2, preferred_element_type=jnp.float32
+        )
+        s2 = jnp.diagonal(gram, axis1=1, axis2=2)
+        n = jnp.float32(H * W * (C // G))
+        mean_g = s1.reshape(B, G, C // G).sum(-1) / n          # [B, G]
+        var_g = s2.reshape(B, G, C // G).sum(-1) / n - mean_g * mean_g
+        rstd_g = jax.lax.rsqrt(var_g + eps)
+        mean = jnp.repeat(mean_g, C // G, axis=-1)[:, None, None, :]
+        rstd = jnp.repeat(rstd_g, C // G, axis=-1)[:, None, None, :]
+        y = (x.astype(jnp.float32) - mean) * rstd
+    else:
+        xf = x.astype(jnp.float32).reshape(B, H * W, G, C // G)
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = jnp.mean(xf * xf, axis=(1, 3), keepdims=True) - mean * mean
+        y = (xf - mean) * jax.lax.rsqrt(var + eps)
+        y = y.reshape(B, H, W, C)
     y = y * scale.astype(jnp.float32)[:, None, None, :] + bias.astype(
         jnp.float32
     )[:, None, None, :]

@@ -81,7 +81,14 @@ def _chunk_inputs(u_ref, dl_ref, b_ref, c_ref, bias_ref, chunk_index, *,
     return u, dl_raw, dl, valid, bmat, cmat
 
 
-_TILE_SCAN_IMPL = "shift"  # 'shift' (concat-slice) | 'roll' (roll + masks)
+import os as _os0
+
+# 'shift' (concat-slice Hillis-Steele, 4 vector ops/level x log2(TILE)
+# levels) | 'roll' (roll + masks) | 'seq' (static sequential recurrence
+# over the in-tile time axis: 2 ops/step on [N, nt, D] slices — O(TILE)
+# ops total vs O(TILE log TILE), betting that Mosaic's static strided
+# sublane slices are cheap; the r1 170-cycle cost was DYNAMIC slicing).
+_TILE_SCAN_IMPL = _os0.environ.get("FOUNDDIFF_TILE_SCAN", "shift")
 
 
 def _tile_scan(a, b, TILE, local_idx):
@@ -94,6 +101,21 @@ def _tile_scan(a, b, TILE, local_idx):
     instead of roll's 6 (2 rolls + 2 masked selects + mul + fma), and no
     cross-tile leakage to mask.
     """
+    if _TILE_SCAN_IMPL == "seq" and TILE > 1:
+        N, S, D = a.shape
+        nt = S // TILE
+        a4 = a.reshape(N, nt, TILE, D)
+        b4 = b.reshape(N, nt, TILE, D)
+        ca = [a4[:, :, 0]]
+        cb = [b4[:, :, 0]]
+        for t in range(1, TILE):
+            at = a4[:, :, t]
+            cb.append(at * cb[-1] + b4[:, :, t])
+            ca.append(at * ca[-1])
+        a_s = jnp.stack(ca, axis=2)
+        b_s = jnp.stack(cb, axis=2)
+        return a_s.reshape(N, S, D), b_s.reshape(N, S, D)
+
     if _TILE_SCAN_IMPL == "shift":
         N, S, D = a.shape
         nt = S // TILE
@@ -832,8 +854,17 @@ def selective_scan_pallas_fused(
 # ---------------------------------------------------------------------------
 
 
-def _pick_tile(S: int) -> int:
-    t = min(8, S)
+_TILE_TARGET = int(_os.environ.get("FOUNDDIFF_TILE", "0"))
+
+
+def _pick_tile(S: int, D: int = 0) -> int:
+    """Hillis-Steele tile length.  r4 sweep (tools/bench_block.py): 16 wins
+    at shallow scales (D<=128: s0 49.97->48.29, s1 34.33->32.16 ms/call) but
+    loses at D=1024 (31.50->32.71) — the wider tile's extra HS level beats
+    the longer resolve chain only while the [N, S, D] work arrays stay
+    register-cheap.  FOUNDDIFF_TILE forces a global value."""
+    target = _TILE_TARGET if _TILE_TARGET else (16 if 0 < D <= 128 else 8)
+    t = min(target, S)
     while S % t:
         t //= 2
     return max(t, 1)
@@ -879,7 +910,7 @@ def _scan_kernel_image(x_ref, wd_ref, wb_ref, wc_ref, a_ref, d_ref, bias_ref,
     def _init():
         h_ref[b] = jnp.zeros_like(h_ref[b])
 
-    TILE = _pick_tile(S)
+    TILE = _pick_tile(S, D)
     ntiles = S // TILE
     local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) % TILE
 

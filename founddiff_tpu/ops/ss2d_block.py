@@ -80,7 +80,7 @@ def _scan_block_kernel(x_ref, x1_ref, xr_ref, wz_ref, wd_ref, wb_ref, wc_ref,
     def _init():
         h_ref[b] = jnp.zeros_like(h_ref[b])
 
-    TILE = _pick_tile(SC)
+    TILE = _pick_tile(SC, D)
     ntiles = SC // TILE
     local_idx = jax.lax.broadcasted_iota(jnp.int32, (1, SC, 1), 1) % TILE
 

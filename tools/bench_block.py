@@ -69,6 +69,9 @@ def main():
                     help="comma-separated prefixes to run (default: all)")
     ap.add_argument("--check", action="store_true",
                     help="also compare vs the XLA composition (max|diff|)")
+    ap.add_argument("--loop", action="store_true",
+                    help="device-side chained-scan timing (two lengths, "
+                         "differenced) — resolves sub-tunnel-offset deltas")
     args = ap.parse_args()
 
     from founddiff_tpu.utils.jaxcache import enable_compilation_cache
@@ -99,12 +102,43 @@ def main():
         jax.block_until_ready(out)
         assert bool(jnp.all(jnp.isfinite(out))), name
 
-        ts = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(**kw))
-            ts.append(time.perf_counter() - t0)
-        ms = float(np.median(ts)) * 1e3
+        if args.loop:
+            # chain through lax.scan so every iteration's inputs depend on
+            # the carry (x1/x_raw directly; xs_conv via the D=2*C0 tiling),
+            # then difference two lengths to cancel the tunnel offset
+            rest = {k: v for k, v in kw.items()
+                    if k not in ("x1", "xs_conv", "x_raw")}
+            part = functools.partial(
+                ss2d_image_block, dt_rank=R, d_state=N, delta_softplus=True,
+                eps=1e-5, **rest,
+            )
+
+            def step(c, _):
+                xs = jnp.concatenate([c, c], axis=-1)[..., :D]
+                return part(x1=c, xs_conv=xs, x_raw=c), None
+
+            def loops(k):
+                g = jax.jit(functools.partial(
+                    lambda x0, n: jax.lax.scan(step, x0, None, length=n)[0],
+                    n=k,
+                ))
+                jax.block_until_ready(g(kw["x1"]))
+                ts = []
+                for _ in range(max(3, args.reps // 3)):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(g(kw["x1"]))
+                    ts.append(time.perf_counter() - t0)
+                return float(np.median(ts))
+
+            k1, k2 = 4, 12
+            ms = (loops(k2) - loops(k1)) / (k2 - k1) * 1e3
+        else:
+            ts = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(**kw))
+                ts.append(time.perf_counter() - t0)
+            ms = float(np.median(ts)) * 1e3
         total += ms * count
         line = f"{name:20s} {ms:8.2f} ms  (x{count} in fwd)"
         if args.check:
