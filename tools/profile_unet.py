@@ -25,7 +25,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def capture(out: str, batch: int, size: int, dtype: str, what: str) -> None:
+def capture(out: str, batch: int, size: int, dtype: str, what: str,
+            scan_impl: str = "auto") -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,6 +44,7 @@ def capture(out: str, batch: int, size: int, dtype: str, what: str) -> None:
 
     cfg = Config()
     cfg.model.use_dose_encoder = False
+    cfg.model.scan_impl = scan_impl
     cfg.diffusion.image_size = size
     diffusion, model, params = build(cfg)
     if dtype == "bf16":
@@ -173,9 +175,13 @@ if __name__ == "__main__":
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--dtype", default="bf16")
     ap.add_argument("--what", default="unet")
+    ap.add_argument("--scan_impl", default="auto",
+                    help="model scan_impl for capture (e.g. 'pallas' = the "
+                         "unfused path seq-sharded serving runs)")
     ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
     if args.mode == "capture":
-        capture(args.path, args.batch, args.size, args.dtype, args.what)
+        capture(args.path, args.batch, args.size, args.dtype, args.what,
+                args.scan_impl)
     else:
         summarize(args.path, args.top)
