@@ -127,13 +127,14 @@ def _gn_silu_fwd(x, scale, bias, residual, groups, eps, has_res):
 def _gn_silu_xla(x, scale, bias, residual, groups, eps, has_res):
     B, H, W, C = x.shape
     G = groups
-    if os.environ.get("FOUNDDIFF_GN_STATS", "mxu") == "mxu":
-        # r4: the naive convert+reduce stats cost ~12 ms/fwd at 512^2 (the
-        # TPU reduce emitter runs ~25x off bandwidth on these shapes).  Ride
-        # the MXU instead: per-channel sums as a ones-matvec and sumsq as
-        # the diagonal of a [C, C] Gram — bf16 inputs with f32 accumulation
-        # (bf16 products are exact in f32, so this matches the f32-convert
-        # reduction up to summation order).
+    if os.environ.get("FOUNDDIFF_GN_STATS", "xla") == "mxu":
+        # r4 NEGATIVE result (kept selectable): standalone the MXU stats
+        # beat the naive convert+reduce (~25x off bandwidth), but in the
+        # full UNet they cost +12 ms (226.3 vs 214.5 ms fwd, r4 profiles) —
+        # splitting the stats out of the conv-fed fusion breaks XLA's
+        # conv+GN epilogue fusion, the same failure mode as the r3 Pallas
+        # GN pair.  Per-channel sums as a ones-matvec and sumsq as the
+        # diagonal of a [C, C] Gram — bf16 inputs with f32 accumulation.
         x2 = x.reshape(B, H * W, C)
         s1 = jnp.einsum(
             "blc,l->bc", x2, jnp.ones((H * W,), x.dtype),

@@ -103,6 +103,9 @@ def _capture_scan(out: str, batch: int) -> None:
 
 
 CATEGORIES = [
+    ("ss2d_block_kernel", re.compile(r"^mamba")),
+    ("attn_half_kernel", re.compile(r"^attn_blk")),
+    ("ln_mod_kernel", re.compile(r"attn\.\d|ln_mod")),
     ("scan_kernel", re.compile(r"selective_scan|custom-call|tpu_custom_call")),
     ("flash_attn", re.compile(r"flash|attention_pallas")),
     ("layernorm_kernel", re.compile(r"layernorm|norm_pallas")),
@@ -141,9 +144,34 @@ def summarize(trace_dir: str, top: int = 30) -> None:
         device_pids = {
             pid for pid, name in proc_names.items() if "python" not in name.lower()
         }
-    op_time = collections.Counter()
+    # thread names: keep only the per-op device thread ("XLA Ops"); the
+    # "XLA Modules" thread carries one whole-program span per iteration and
+    # double-counts everything if summed alongside
+    thread_names = {}
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            thread_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    op_tids = {
+        k for k, name in thread_names.items()
+        if k[0] in device_pids and "Ops" in name
+    }
+    module_tids = {
+        k for k, name in thread_names.items()
+        if k[0] in device_pids and "Modules" in name
+    }
+    op_time = collections.Counter()
+    iters = 0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        key = (e.get("pid"), e.get("tid"))
+        if key in module_tids:
+            iters += 1
+            continue
+        if op_tids:
+            if key not in op_tids:
+                continue
+        elif e.get("pid") not in device_pids:
             continue
         name = e.get("name", "")
         dur = e.get("dur", 0)  # microseconds
@@ -157,7 +185,7 @@ def summarize(trace_dir: str, top: int = 30) -> None:
                 break
         else:
             cat_time["other"] += dur
-    iters = 3
+    iters = iters or 3
     print(f"device total: {total/1e3/iters:.2f} ms/iter  ({paths[-1]})")
     print("\nby category (ms/iter):")
     for cat, dur in cat_time.most_common():
