@@ -30,7 +30,7 @@ from founddiff_tpu.models.blocks import (
     dense,
     modulate,
 )
-from founddiff_tpu.models.init import torch_kernel_init
+from founddiff_tpu.models.init import make_torch_bias_init, torch_kernel_init
 from founddiff_tpu.ops.selective_scan import (
     efficient_merge,
     efficient_scan,
@@ -102,6 +102,33 @@ class _AffineParams(nn.Module):
         return scale, bias
 
 
+class _DWConvParams(nn.Module):
+    """Bare depthwise-conv params (paths ``<name>/kernel``, ``<name>/bias``
+    identical to :class:`founddiff_tpu.models.blocks.TorchConv` with
+    ``feature_group_count == features`` for the checkpoint converter) — lets
+    the unified block kernel consume the taps without instantiating the
+    conv module."""
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", torch_kernel_init, (k, k, 1, self.features),
+            jnp.float32,
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", make_torch_bias_init(k * k), (self.features,),
+                jnp.float32,
+            )
+        return kernel, bias
+
+
 class SS2D(nn.Module):
     """2-D selective scan module (reference src/emamba2.py:404-751)."""
 
@@ -134,14 +161,21 @@ class SS2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, c=None, deterministic: bool = True, gate=None,
-                 residual=None):
+                 residual=None, pre_norm=None):
         """x: [B, H, W, d_model]; c: [B, 1, context_dim] content embedding.
 
         ``gate`` [B, d_model] + ``residual`` [B, H, W, d_model] (both or
         neither): the MambaBlock tail ``residual + gate * SS2D(x)`` is
         computed HERE — on the fused TPU path it folds into the epilogue
         kernel together with out_proj, so the 2*d_model-channel epilogue
-        output never round-trips HBM."""
+        output never round-trips HBM.
+
+        ``pre_norm``: optional (ln_scale, ln_bias, mod_scale, mod_shift) —
+        when given, ``x`` is the RAW block input and this module applies
+        ``modulate(LayerNorm(x))`` itself.  On the TPU fast path the LN,
+        in_proj, depthwise conv, and silu all fuse INTO the scan kernels
+        (ops/ss2d_block.py ``ss2d_mamba_block``), so x1 and the conv'd scan
+        input never touch HBM."""
         B, H, W, _ = x.shape
         assert (gate is None) == (residual is None)
         d_inner = int(self.ssm_ratio * self.d_model)
@@ -182,6 +216,62 @@ class SS2D(nn.Module):
         fold_proj = (
             gate is not None and not self.use_bias and self.dropout == 0.0
         )
+        # unified whole-first-half kernel: LN+modulate, in_proj, dwconv,
+        # silu, scans, epilogue — reads only raw x (ops/ss2d_block.py).
+        # r4 NEGATIVE result, default OFF: in the full UNet it nets +8 ms
+        # (222.9 vs 214.5 ms fwd) — the in-kernel LN/proj/dwconv costs ~2x
+        # its XLA equivalent (XLA's conv emitter + fusion infrastructure
+        # beat per-op Mosaic vector code for this pre-scan chain), more
+        # than the removed ln_mod kernel + relayout copies give back.
+        import os as _os
+
+        if (
+            _os.environ.get("FOUNDDIFF_UNIFIED", "0") == "1"
+            and fuse_epilogue
+            and fold_proj
+            and pre_norm is not None
+            and residual is x
+            and self.d_conv == 3
+        ):
+            from founddiff_tpu.ops.ss2d_block import (
+                mamba_block_ok,
+                ss2d_mamba_block,
+            )
+
+            if mamba_block_ok(H, W, d_inner, N, self.d_model):
+                in_w = _DenseKernel(
+                    2 * d_inner, self.d_model, name="in_proj"
+                )()
+                dw_kernel, dw_bias = _DWConvParams(
+                    d_inner, self.d_conv, self.conv_bias, name="dwconv"
+                )()
+                ln_scale, ln_bias = _AffineParams(d_inner, name="out_norm")()
+                proj_kernel = _DenseKernel(
+                    self.d_model, d_inner, name="out_proj"
+                )()
+                xw, dtw, dt_bias, A_logs, Ds = self._scan_params(
+                    d_inner, R, N, K
+                )
+                return ss2d_mamba_block(
+                    x, pre_norm[0], pre_norm[1], pre_norm[2], pre_norm[3],
+                    in_proj_w=in_w, dw_kernel=dw_kernel, dw_bias=dw_bias,
+                    x_proj_weight=xw, dt_projs_weight=dtw,
+                    A=-jnp.exp(A_logs), Dskip=Ds, delta_bias=dt_bias,
+                    out_ln_g=ln_scale, out_ln_b=ln_bias,
+                    local=local[:, 0] if c is not None else None,
+                    proj_w=proj_kernel, gate=gate,
+                    d_inner=d_inner, dt_rank=R, d_state=N,
+                    delta_softplus=True, eps_ln=1e-5, eps=1e-5,
+                )
+
+        if pre_norm is not None:
+            from founddiff_tpu.ops.norm_pallas import layer_norm_modulated
+
+            x = layer_norm_modulated(
+                x, pre_norm[0], pre_norm[1], pre_norm[2], pre_norm[3],
+                eps=1e-5,
+            )
+
         if fuse_epilogue and fold_proj:
             from founddiff_tpu.ops.ss2d_block import (
                 block_scan_ok,
@@ -455,15 +545,14 @@ class MambaBlock(nn.Module):
             mod(nn.silu(t)), 6, axis=-1
         )
 
-        # LN + adaLN modulation fused in one pass (kernel in norm_pallas)
         from founddiff_tpu.ops.norm_pallas import layer_norm_modulated
 
+        # norm1 LN + adaLN modulation handed to SS2D (pre_norm): on the TPU
+        # fast path it fuses INTO the scan kernels together with in_proj,
+        # the depthwise conv, silu, the epilogue, out_proj, the adaLN gate
+        # and the residual add — the whole first half of the block is two
+        # Pallas kernels reading only raw x
         n1_scale, n1_bias = _AffineParams(h, name="norm1")()
-        x1 = layer_norm_modulated(
-            x, n1_scale, n1_bias, scale_msa, shift_msa, eps=1e-5
-        )
-        # gate + residual handed to SS2D so the fused TPU path can fold the
-        # whole ``x + gate * out_proj(...)`` tail into its epilogue kernel
         x = SS2D(
             d_model=h,
             d_state=self.d_state,
@@ -472,7 +561,10 @@ class MambaBlock(nn.Module):
             scan_impl=self.scan_impl,
             mesh=self.mesh,
             name="mamba",
-        )(x1, c, deterministic=deterministic, gate=gate_msa, residual=x)
+        )(
+            x, c, deterministic=deterministic, gate=gate_msa, residual=x,
+            pre_norm=(n1_scale, n1_bias, scale_msa, shift_msa),
+        )
 
         impl = self.scan_impl
         if impl == "auto":

@@ -11,6 +11,7 @@ framework's other kernels.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -212,8 +213,17 @@ def layer_norm_modulated(
     eps: float = 1e-5,
 ) -> jnp.ndarray:
     """``modulate(LayerNorm(x))`` fused: x [B, ..., C];
-    mod_scale/mod_shift [B, C] (adaLN chunks)."""
+    mod_scale/mod_shift [B, C] (adaLN chunks).
+
+    ``FOUNDDIFF_LNMOD=xla`` routes through the XLA composition instead of
+    the Pallas kernel: in today's fused-block graph the Pallas boundary
+    forces row-major relayouts between the conv-fed producer and the
+    einsum/dwconv consumer, which can cost more than the kernel saves
+    (r4 experiment; the r1 win predates the block kernels)."""
     shape = x.shape
     x3d = x.reshape(shape[0], -1, shape[-1])
-    out = _fused_ln_mod(x3d, scale, bias, mod_scale, mod_shift, eps)
+    if os.environ.get("FOUNDDIFF_LNMOD", "pallas") == "xla":
+        out = _xla_ln_mod(x3d, scale, bias, mod_scale, mod_shift, eps)
+    else:
+        out = _fused_ln_mod(x3d, scale, bias, mod_scale, mod_shift, eps)
     return out.reshape(shape)

@@ -174,3 +174,120 @@ def test_mamba_block_fused_equals_chunked():
         np.testing.assert_allclose(np.asarray(flat_f[k]),
                                    np.asarray(flat_u[k]),
                                    rtol=5e-4, atol=1e-5, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Unified whole-first-half kernel (ss2d_mamba_block): LN-mod + in_proj +
+# dwconv + silu fused in-kernel.
+# ---------------------------------------------------------------------------
+
+
+def _mb_inputs(B, H, W, C0, D, N, R, seed):
+    rs = np.random.RandomState(seed)
+    f = lambda *s: jnp.asarray(rs.randn(*s) * 0.1, jnp.float32)
+    return dict(
+        x=jnp.asarray(rs.randn(B, H, W, C0), jnp.float32) * 0.5,
+        lns=f(C0) + 1.0, lnbb=f(C0),
+        ms=f(B, C0), mt=f(B, C0),
+        inw=f(C0, 2 * D), dwk=f(3, 3, 1, D), dwb=f(D),
+        xw=f(4, R + 2 * N, D), dtw=f(4, D, R),
+        A=-jnp.abs(f(4, D, N)) - 0.5, Ds=f(4, D), bias=f(4, D),
+        lng=f(D) + 1.0, lnb=f(D),
+        loc=f(B, D), pw=f(D, C0), gate=f(B, C0),
+    )
+
+
+def _mb_run_both(i, D, R, N, local=True, dw_bias=True):
+    from founddiff_tpu.ops.ss2d_block import (
+        _mamba_xla_compose,
+        ss2d_mamba_block,
+    )
+
+    out = ss2d_mamba_block(
+        i["x"], i["lns"], i["lnbb"], i["ms"], i["mt"],
+        in_proj_w=i["inw"], dw_kernel=i["dwk"],
+        dw_bias=i["dwb"] if dw_bias else None,
+        x_proj_weight=i["xw"], dt_projs_weight=i["dtw"], A=i["A"],
+        Dskip=i["Ds"], delta_bias=i["bias"], out_ln_g=i["lng"],
+        out_ln_b=i["lnb"], local=i["loc"] if local else None,
+        proj_w=i["pw"], gate=i["gate"], d_inner=D, dt_rank=R, d_state=N,
+    )
+    wd, wb, wc = _derive_weights(i["xw"], i["dtw"], R, N)
+    geff = i["lns"][None] * (1.0 + i["ms"])
+    beff = i["lnbb"][None] * (1.0 + i["ms"]) + i["mt"]
+    ref = _mamba_xla_compose(
+        i["x"], geff, beff, i["inw"][:, :D], i["inw"][:, D:],
+        i["dwk"][:, :, 0, :].reshape(9, D), i["dwb"].reshape(1, D),
+        wd, wb, wc, i["A"], i["Ds"], i["bias"], i["lng"], i["lnb"],
+        i["loc"], i["pw"], i["gate"], True, local, dw_bias, 1e-5, 1e-5,
+    )
+    return out, ref
+
+
+@pytest.mark.parametrize(
+    "B,H,W,C0,D,N",
+    [
+        (2, 16, 16, 64, 128, 4),     # shallow, single-pass
+        (1, 32, 48, 64, 128, 4),     # non-square (W-major strips differ)
+        (2, 16, 16, 32, 64, 16),     # deep-ish state, small dims
+    ],
+)
+def test_mamba_block_op_matches_compose(B, H, W, C0, D, N):
+    R = max(1, -(-C0 // 16))
+    i = _mb_inputs(B, H, W, C0, D, N, R, seed=7)
+    out, ref = _mb_run_both(i, D, R, N)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_mamba_block_op_no_local_no_dwbias():
+    B, H, W, C0, D, N = 1, 16, 16, 64, 128, 4
+    R = 4
+    i = _mb_inputs(B, H, W, C0, D, N, R, seed=9)
+    out, ref = _mb_run_both(i, D, R, N, local=False, dw_bias=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_mamba_block_op_grads_match_compose():
+    from founddiff_tpu.ops.ss2d_block import (
+        _mamba_xla_compose,
+        ss2d_mamba_block,
+    )
+
+    B, H, W, C0, D, N = 1, 16, 16, 64, 128, 4
+    R = 4
+    i = _mb_inputs(B, H, W, C0, D, N, R, seed=11)
+    wd, wb, wc = _derive_weights(i["xw"], i["dtw"], R, N)
+
+    def loss_fused(x, inw, dwk, pw):
+        o = ss2d_mamba_block(
+            x, i["lns"], i["lnbb"], i["ms"], i["mt"], in_proj_w=inw,
+            dw_kernel=dwk, dw_bias=i["dwb"], x_proj_weight=i["xw"],
+            dt_projs_weight=i["dtw"], A=i["A"], Dskip=i["Ds"],
+            delta_bias=i["bias"], out_ln_g=i["lng"], out_ln_b=i["lnb"],
+            local=i["loc"], proj_w=pw, gate=i["gate"], d_inner=D,
+            dt_rank=R, d_state=N,
+        )
+        return jnp.sum(o * o)
+
+    def loss_ref(x, inw, dwk, pw):
+        geff = i["lns"][None] * (1.0 + i["ms"])
+        beff = i["lnbb"][None] * (1.0 + i["ms"]) + i["mt"]
+        o = _mamba_xla_compose(
+            x, geff, beff, inw[:, :D], inw[:, D:],
+            dwk[:, :, 0, :].reshape(9, D), i["dwb"].reshape(1, D),
+            wd, wb, wc, i["A"], i["Ds"], i["bias"], i["lng"], i["lnb"],
+            i["loc"], pw, i["gate"], True, True, True, 1e-5, 1e-5,
+        )
+        return jnp.sum(o * o)
+
+    args = (i["x"], i["inw"], i["dwk"], i["pw"])
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )

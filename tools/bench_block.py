@@ -72,6 +72,11 @@ def main():
     ap.add_argument("--loop", action="store_true",
                     help="device-side chained-scan timing (two lengths, "
                          "differenced) — resolves sub-tunnel-offset deltas")
+    ap.add_argument("--op", default="image",
+                    choices=["image", "mamba"],
+                    help="'image' = ss2d_image_block (scan+epilogue); "
+                         "'mamba' = ss2d_mamba_block (unified: + LN-mod, "
+                         "in_proj, dwconv, silu in-kernel)")
     args = ap.parse_args()
 
     from founddiff_tpu.utils.jaxcache import enable_compilation_cache
@@ -91,6 +96,9 @@ def main():
             continue
         if not block_scan_ok(H, H, D, N):
             print(f"{name}: block_scan_ok=False, skipped")
+            continue
+        if args.op == "mamba":
+            _bench_mamba(name, H, D, N, C0, count, args, dtype)
             continue
         kw, R = make_args(H, D, N, C0, args.batch, dtype)
 
@@ -160,6 +168,100 @@ def main():
         print(line, flush=True)
     print(f"weighted total (sum over fwd blocks): {total:.1f} ms "
           f"(+~26 ms/call tunnel offset included per call)")
+
+
+def _bench_mamba(name, H, D, N, C0, count, args, dtype):
+    """Time the unified kernel (raw x in, final block output out) and
+    optionally check it against its own XLA remat composition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from founddiff_tpu.ops.ss2d_block import (
+        _mamba_xla_compose,
+        mamba_block_ok,
+        ss2d_mamba_block,
+    )
+
+    if not mamba_block_ok(H, H, D, N, C0):
+        print(f"{name}: mamba_block_ok=False, skipped")
+        return
+    rs = np.random.RandomState(0)
+    W = H
+    B = args.batch
+    R = max(1, -(-(C0) // 16))
+    f = lambda *s: jnp.asarray(rs.randn(*s) * 0.1, jnp.float32)
+    x = jnp.asarray(rs.randn(B, H, W, C0) * 0.3, dtype)
+    kw = dict(
+        ln_scale=jnp.ones((C0,), jnp.float32),
+        ln_bias=jnp.zeros((C0,), jnp.float32),
+        mod_scale=f(B, C0), mod_shift=f(B, C0),
+        in_proj_w=f(C0, 2 * D),
+        dw_kernel=f(3, 3, 1, D), dw_bias=f(D),
+        x_proj_weight=f(4, R + 2 * N, D), dt_projs_weight=f(4, D, R),
+        A=-jnp.abs(f(4, D, N)) - 0.5, Dskip=f(4, D), delta_bias=f(4, D),
+        out_ln_g=jnp.ones((D,), jnp.float32),
+        out_ln_b=jnp.zeros((D,), jnp.float32),
+        local=f(B, D), proj_w=f(D, C0), gate=f(B, C0),
+    )
+    part = functools.partial(
+        ss2d_mamba_block, d_inner=D, dt_rank=R, d_state=N,
+        delta_softplus=True, eps_ln=1e-5, eps=1e-5, **kw,
+    )
+    fn = jax.jit(part)
+    out = fn(x)
+    jax.block_until_ready(out)
+    assert bool(jnp.all(jnp.isfinite(out))), name
+
+    if args.loop:
+        def step(c, _):
+            return part(c), None
+
+        def loops(k):
+            g = jax.jit(functools.partial(
+                lambda x0, n: jax.lax.scan(step, x0, None, length=n)[0],
+                n=k,
+            ))
+            jax.block_until_ready(g(x))
+            ts = []
+            for _ in range(max(3, args.reps // 3)):
+                t0 = time.perf_counter()
+                jax.block_until_ready(g(x))
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts))
+
+        k1, k2 = 4, 12
+        ms = (loops(k2) - loops(k1)) / (k2 - k1) * 1e3
+    else:
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(x))
+            ts.append(time.perf_counter() - t0)
+        ms = float(np.median(ts)) * 1e3
+    line = f"{name:20s} {ms:8.2f} ms  (x{count} in fwd, unified)"
+    if args.check:
+        from founddiff_tpu.ops.ss2d_block import _derive_weights
+
+        w_delta, w_b, w_c = _derive_weights(
+            kw["x_proj_weight"], kw["dt_projs_weight"], R, N
+        )
+        ms_ = kw["mod_scale"].astype(jnp.float32)
+        geff = kw["ln_scale"][None] * (1.0 + ms_)
+        beff = kw["ln_bias"][None] * (1.0 + ms_) + kw["mod_shift"]
+        ref = _mamba_xla_compose(
+            x, geff, beff, kw["in_proj_w"][:, :D].astype(dtype),
+            kw["in_proj_w"][:, D:].astype(dtype),
+            kw["dw_kernel"][:, :, 0, :].reshape(9, D).astype(dtype),
+            kw["dw_bias"].reshape(1, D), w_delta.astype(dtype),
+            w_b.astype(dtype), w_c.astype(dtype), kw["A"], kw["Dskip"],
+            kw["delta_bias"], kw["out_ln_g"], kw["out_ln_b"], kw["local"],
+            kw["proj_w"], kw["gate"], True, True, True, 1e-5, 1e-5,
+        )
+        d = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                  - ref.astype(jnp.float32))))
+        line += f"  max|diff vs xla|={d:.4f}"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
