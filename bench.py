@@ -38,10 +38,43 @@ import numpy as np
 REF_EST_SLICES_PER_SEC = 0.133  # estimated CUDA reference (see docstring)
 
 
+def _run_numerics_gate() -> None:
+    """Refuse to bench kernels that fail the on-TPU numerics gate.
+
+    Runs tools/numerics_gate.py (fused serving path vs chunked XLA path,
+    DDIM-2 512^2 bs1 bf16, PSNR >= 40 dB) in a SUBPROCESS so its TPU work
+    fully completes before the bench touches the chip (CLAUDE.md: never two
+    concurrent TPU processes — sequential subprocess is safe).  Both gate
+    programs land in the persistent compile cache, so reruns are cheap.
+    Default-on for TPU runs; BENCH_SKIP_GATE=1 opts out (CPU debugging).
+    """
+    import subprocess
+    import sys
+
+    import jax
+
+    if os.environ.get("BENCH_SKIP_GATE") or jax.default_backend() != "tpu":
+        return
+    gate = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "numerics_gate.py")
+    proc = subprocess.run([sys.executable, gate], capture_output=True,
+                          text=True)
+    # surface the gate's JSON line on stderr (stdout stays one-line JSON)
+    out = (proc.stdout or "") + (proc.stderr or "")
+    print(f"[numerics gate] {out.strip().splitlines()[-1] if out.strip() else '(no output)'}",
+          file=sys.stderr)
+    if proc.returncode != 0:
+        raise SystemExit(
+            f"numerics gate FAILED (exit {proc.returncode}) — refusing to "
+            "bench a numerically-broken kernel stack"
+        )
+
+
 def main() -> None:
     from founddiff_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
+    _run_numerics_gate()
     size = int(os.environ.get("BENCH_SIZE", 512))
     steps = int(os.environ.get("BENCH_STEPS", 50))
     # throughput metric: serve device-batched waves (16 amortizes small-op

@@ -174,7 +174,7 @@ class SS2D(nn.Module):
         when given, ``x`` is the RAW block input and this module applies
         ``modulate(LayerNorm(x))`` itself.  On the TPU fast path the LN,
         in_proj, depthwise conv, and silu all fuse INTO the scan kernels
-        (ops/ss2d_block.py ``ss2d_mamba_block``), so x1 and the conv'd scan
+        (ops/experimental_unified.py ``ss2d_mamba_block``), so x1 and the conv'd scan
         input never touch HBM."""
         B, H, W, _ = x.shape
         assert (gate is None) == (residual is None)
@@ -233,7 +233,7 @@ class SS2D(nn.Module):
             and residual is x
             and self.d_conv == 3
         ):
-            from founddiff_tpu.ops.ss2d_block import (
+            from founddiff_tpu.ops.experimental_unified import (
                 mamba_block_ok,
                 ss2d_mamba_block,
             )
@@ -570,10 +570,12 @@ class MambaBlock(nn.Module):
         if impl == "auto":
             impl = "pallas_fused" if jax.default_backend() == "tpu" else "chunked"
         if not self.cross:
-            from founddiff_tpu.ops.attn_block import attn_block_ok
+            from founddiff_tpu.ops.attn_block import attn_block_route
 
             B, H, W, _ = x.shape
-            if impl == "pallas_fused" and attn_block_ok(H, W, h):
+            # routing policy (not just capability): C<128 scales run the
+            # XLA composition by default — see attn_block_route docstring
+            if impl == "pallas_fused" and attn_block_route(H, W, h):
                 # whole second half (LN+modulate+TransposedAttention+gated
                 # residual) as one Pallas kernel per image (ops/attn_block)
                 return TransposedAttention(

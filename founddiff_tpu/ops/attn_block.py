@@ -38,6 +38,7 @@ the same pattern as ops/ss2d_block.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,26 @@ def _pick_ch(H: int, W: int, C: int = 128) -> int:
     if H % ch:
         ch = H  # tiny images: single chunk
     return min(ch, H)
+
+
+def attn_block_route(H: int, W: int, C: int) -> bool:
+    """Routing POLICY (distinct from the :func:`attn_block_ok` capability
+    gate): should the fused kernel actually be used at this scale?
+
+    r4 device-loop data (PROGRESS.md "in-model truth pass"): at C < 128 the
+    image runs channel-padded to 128 inside the kernel — 2x lane work plus
+    ~3.7 ms of pad ops — and is net ~equal to the XLA composition, so the
+    default only routes C >= 128 scales where the kernel is a real win
+    (standalone 34.6 vs 40.9 ms weighted over the 9 blocks).
+
+    ``FOUNDDIFF_ATTN_BLOCK``: 'auto' (default, C >= 128) | 'on' (every
+    scale the kernel handles) | 'off' (always the XLA composition)."""
+    mode = os.environ.get("FOUNDDIFF_ATTN_BLOCK", "auto")
+    if mode == "off":
+        return False
+    if not attn_block_ok(H, W, C):
+        return False
+    return mode == "on" or C >= 128
 
 
 def attn_block_ok(H: int, W: int, C: int) -> bool:
@@ -413,4 +434,5 @@ def attn_block(x, mod_scale, mod_shift, gate, qkv_w, dw_w, temperature,
     )
 
 
-__all__ = ["attn_block", "attn_block_ok", "attn_block_xla"]
+__all__ = ["attn_block", "attn_block_ok", "attn_block_route",
+           "attn_block_xla"]

@@ -198,7 +198,7 @@ def _mb_inputs(B, H, W, C0, D, N, R, seed):
 
 
 def _mb_run_both(i, D, R, N, local=True, dw_bias=True):
-    from founddiff_tpu.ops.ss2d_block import (
+    from founddiff_tpu.ops.experimental_unified import (
         _mamba_xla_compose,
         ss2d_mamba_block,
     )
@@ -252,7 +252,7 @@ def test_mamba_block_op_no_local_no_dwbias():
 
 
 def test_mamba_block_op_grads_match_compose():
-    from founddiff_tpu.ops.ss2d_block import (
+    from founddiff_tpu.ops.experimental_unified import (
         _mamba_xla_compose,
         ss2d_mamba_block,
     )

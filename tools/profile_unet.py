@@ -105,9 +105,12 @@ def _capture_scan(out: str, batch: int) -> None:
 CATEGORIES = [
     ("ss2d_block_kernel", re.compile(r"^mamba")),
     ("attn_half_kernel", re.compile(r"^attn_blk")),
-    ("ln_mod_kernel", re.compile(r"attn\.\d|ln_mod")),
-    ("scan_kernel", re.compile(r"selective_scan|custom-call|tpu_custom_call")),
     ("flash_attn", re.compile(r"flash|attention_pallas")),
+    # anchored: LN-mod kernels are named 'attn.<digit>...'/'ln_mod...' at
+    # scope start; unanchored it would also swallow flash-attn fusion
+    # scopes containing 'attn.<digit>' (ADVICE r4)
+    ("ln_mod_kernel", re.compile(r"^attn\.\d|ln_mod")),
+    ("scan_kernel", re.compile(r"selective_scan|custom-call|tpu_custom_call")),
     ("layernorm_kernel", re.compile(r"layernorm|norm_pallas")),
     ("conv", re.compile(r"%?convolution|conv_general")),
     ("matmul", re.compile(r"%?dot|einsum")),
@@ -160,13 +163,17 @@ def summarize(trace_dir: str, top: int = 30) -> None:
         if k[0] in device_pids and "Modules" in name
     }
     op_time = collections.Counter()
-    iters = 0
+    module_spans = collections.Counter()
     for e in events:
         if e.get("ph") != "X":
             continue
         key = (e.get("pid"), e.get("tid"))
         if key in module_tids:
-            iters += 1
+            # count executions PER module name: warm-up/compile spans or a
+            # second traced module would otherwise inflate the divisor and
+            # silently deflate ms/iter (ADVICE r4); the profiled program is
+            # the module that executed most often
+            module_spans[e.get("name", "")] += 1
             continue
         if op_tids:
             if key not in op_tids:
@@ -185,7 +192,7 @@ def summarize(trace_dir: str, top: int = 30) -> None:
                 break
         else:
             cat_time["other"] += dur
-    iters = iters or 3
+    iters = module_spans.most_common(1)[0][1] if module_spans else 3
     print(f"device total: {total/1e3/iters:.2f} ms/iter  ({paths[-1]})")
     print("\nby category (ms/iter):")
     for cat, dur in cat_time.most_common():
