@@ -59,9 +59,11 @@ def _run_numerics_gate() -> None:
                         "tools", "numerics_gate.py")
     proc = subprocess.run([sys.executable, gate], capture_output=True,
                           text=True)
-    # surface the gate's JSON line on stderr (stdout stays one-line JSON)
-    out = (proc.stdout or "") + (proc.stderr or "")
-    print(f"[numerics gate] {out.strip().splitlines()[-1] if out.strip() else '(no output)'}",
+    # surface the gate's JSON line on stderr (stdout stays one-line JSON);
+    # the gate prints its JSON as the last stdout line — jax warnings land
+    # on ITS stderr, so prefer stdout
+    out = (proc.stdout or "").strip() or (proc.stderr or "").strip()
+    print(f"[numerics gate] {out.splitlines()[-1] if out else '(no output)'}",
           file=sys.stderr)
     if proc.returncode != 0:
         raise SystemExit(

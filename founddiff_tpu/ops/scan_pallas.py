@@ -858,12 +858,15 @@ _TILE_TARGET = int(_os.environ.get("FOUNDDIFF_TILE", "0"))
 
 
 def _pick_tile(S: int, D: int = 0) -> int:
-    """Hillis-Steele tile length.  r4 sweep (tools/bench_block.py): 16 wins
-    at shallow scales (D<=128: s0 49.97->48.29, s1 34.33->32.16 ms/call) but
-    loses at D=1024 (31.50->32.71) — the wider tile's extra HS level beats
-    the longer resolve chain only while the [N, S, D] work arrays stay
-    register-cheap.  FOUNDDIFF_TILE forces a global value."""
-    target = _TILE_TARGET if _TILE_TARGET else (16 if 0 < D <= 128 else 8)
+    """Hillis-Steele tile length.  TILE=8 everywhere: the r4 D-aware rule
+    (16 at D<=128) won standalone device-loop timing (s0 49.97->48.29,
+    s1 34.33->32.16 ms/call) but was an IN-MODEL regression at the serving
+    batch — full-model bench r5: TILE=8 0.7739 vs D-aware 0.7676
+    slices/sec (DDIM-50 512^2 bs16).  Same lesson as the r4 GN stats:
+    standalone kernel wins don't survive surrounding-fusion changes;
+    nothing ships as default without a full-model bench.  FOUNDDIFF_TILE
+    forces a global value for sweeps."""
+    target = _TILE_TARGET if _TILE_TARGET else 8
     t = min(target, S)
     while S % t:
         t //= 2

@@ -97,3 +97,20 @@ def test_grad_flows_via_remat():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(g_w), np.asarray(r_w), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_route_policy(monkeypatch):
+    """Routing POLICY (r5): default only C >= 128 scales take the fused
+    kernel (C < 128 runs channel-padded and was measured net-neutral plus
+    pad ops — PROGRESS.md r4); FOUNDDIFF_ATTN_BLOCK on/off overrides."""
+    from founddiff_tpu.ops.attn_block import attn_block_route
+
+    monkeypatch.delenv("FOUNDDIFF_ATTN_BLOCK", raising=False)
+    assert attn_block_ok(128, 128, 64)
+    assert not attn_block_route(128, 128, 64)      # capable but not routed
+    assert attn_block_route(64, 64, 128)
+    monkeypatch.setenv("FOUNDDIFF_ATTN_BLOCK", "on")
+    assert attn_block_route(128, 128, 64)
+    assert not attn_block_route(128, 128, 60)      # still gated by _ok
+    monkeypatch.setenv("FOUNDDIFF_ATTN_BLOCK", "off")
+    assert not attn_block_route(64, 64, 128)

@@ -177,7 +177,7 @@ def _bench_mamba(name, H, D, N, C0, count, args, dtype):
     import jax.numpy as jnp
     import numpy as np
 
-    from founddiff_tpu.ops.ss2d_block import (
+    from founddiff_tpu.ops.experimental_unified import (
         _mamba_xla_compose,
         mamba_block_ok,
         ss2d_mamba_block,
