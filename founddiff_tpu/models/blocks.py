@@ -101,16 +101,22 @@ class TorchConv(nn.Module):
         )
 
         def conv(u, k):
-            # im2col fast path for tiny input channels: the TPU conv
-            # emitter runs ~25x off roofline at C_in < 8 (init_conv's
-            # 7x7 2->64 measured 3.1 ms vs a 0.13 ms roofline at 512^2
-            # bs8).  One shifted-slice concat pass + one MXU matmul.
+            # im2col path for tiny input channels (the TPU conv emitter
+            # runs ~25x off roofline at C_in < 8; init_conv's 7x7 2->64 is
+            # 3.1 ms native at 512^2 bs8).  OPT-IN (FOUNDDIFF_IM2COL=1):
+            # standalone the im2col matmul wins, but in-model it is a NET
+            # LOSS — its dot-layout output forces relayout copies at both
+            # consumers (r5 bench: default 0.7956 vs im2col 0.7739
+            # slices/sec, DDIM-50 512^2 bs16).
+            import os as _os
+
             if (
                 u.shape[-1] <= 4
                 and kh * kw > 4
                 and strides == (1, 1)
                 and self.padding == "SAME"
                 and self.feature_group_count == 1
+                and _os.environ.get("FOUNDDIFF_IM2COL", "0") == "1"
             ):
                 B, H, W, Ci = u.shape
                 up = jnp.pad(

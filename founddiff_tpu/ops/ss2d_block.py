@@ -52,7 +52,8 @@ def _scan_block_kernel(x_ref, x1_ref, xr_ref, wz_ref, wd_ref, wb_ref, wc_ref,
                        pw_ref, gate_ref, o_ref, h_ref, pair_s_ref, y_s_ref,
                        *, chunk: int,
                        subchunk: int, softplus: bool, col_major: bool,
-                       D: int, C0: int, eps: float, has_local: bool):
+                       D: int, C0: int, eps: float, has_local: bool,
+                       silu_input: bool = False):
     """One grid cell: scan both pixel-parity directions of one orientation
     AND apply the full epilogue, writing final block-output pixels.
 
@@ -106,6 +107,13 @@ def _scan_block_kernel(x_ref, x1_ref, xr_ref, wz_ref, wd_ref, wb_ref, wc_ref,
         return ref[0, :, 0, :, :].reshape(2 * S, C0)
 
     pair = seq(x_ref)                 # xs_conv, io dtype
+    if silu_input:
+        # FOUNDDIFF_SILU=kernel: the kernel receives the RAW dwconv output
+        # and applies silu here — removes the separate XLA silu HBM pass
+        # (~1.7 ms/scale at 512^2, r5 trace) at the cost of one in-VMEM
+        # sigmoid+mul over [S, 2D]
+        pf = pair.astype(jnp.float32)
+        pair = (pf * jax.nn.sigmoid(pf)).astype(pair.dtype)
     # z for ALL the block's pixels in one MXU matmul, flat pixel order;
     # rounded to io dtype so the gating matches the unfused path's bf16
     # in_proj output bit-for-bit
@@ -272,7 +280,8 @@ def block_scan_ok(H: int, W: int, d_inner: int, d_state: int) -> bool:
 
 def _block_call(x5, x1v, xrv, wz2, w_delta, w_b, w_c, a_k, d_k, bias_k,
                 lng, lnb, locp, pw2, gatep, *, col_major: bool,
-                softplus: bool, eps: float, has_local: bool, out_alias=None):
+                softplus: bool, eps: float, has_local: bool,
+                silu_input: bool = False, out_alias=None):
     """One orientation of the fused block.  x5: [B, H2, 2, W, D];
     x1v/xrv: [B, H2, 2, W, C0] — H-split-only views (true bitcasts of the
     NHWC images; the pair merge happens in VMEM, see ``seq``); weights
@@ -329,6 +338,7 @@ def _block_call(x5, x1v, xrv, wz2, w_delta, w_b, w_c, a_k, d_k, bias_k,
     kernel = functools.partial(
         _scan_block_kernel, chunk=S, subchunk=SC, softplus=softplus,
         col_major=col_major, D=D, C0=C0, eps=eps, has_local=has_local,
+        silu_input=silu_input,
     )
     inputs = [
         x5, x1v, xrv, wz2[None], w_delta[None], w_b[None], w_c[None],
@@ -408,19 +418,21 @@ def _derive_weights(x_proj_weight, dt_projs_weight, dt_rank, d_state):
     return w_delta, w_b, w_c
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
 def _ss2d_image_block(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip,
                       delta_bias, ln_g, ln_b, local, proj_w, gate,
-                      delta_softplus, has_local, eps):
+                      delta_softplus, has_local, eps, silu_input):
     return _ss2d_image_block_fwd_only(
         x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip, delta_bias,
         ln_g, ln_b, local, proj_w, gate, delta_softplus, has_local, eps,
+        silu_input,
     )
 
 
 def _ss2d_image_block_fwd_only(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A,
                                Dskip, delta_bias, ln_g, ln_b, local, proj_w,
-                               gate, delta_softplus, has_local, eps):
+                               gate, delta_softplus, has_local, eps,
+                               silu_input=False):
     B, H, W, D = xs_conv.shape
     C0 = x_raw.shape[-1]
     # H-split-only views: true bitcasts of the NHWC images whatever the
@@ -442,7 +454,8 @@ def _ss2d_image_block_fwd_only(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A,
     rows_idx = jnp.asarray([0, 2])  # (pi=0): row-major dirs
     cols_idx = jnp.asarray([1, 3])  # (pi=1): column-major dirs
     pick = lambda w, idx: w[idx]
-    common = dict(softplus=delta_softplus, eps=eps, has_local=has_local)
+    common = dict(softplus=delta_softplus, eps=eps, has_local=has_local,
+                  silu_input=silu_input)
     out_rows = _block_call(
         x5, x1v, xrv, wz2, pick(w_delta, rows_idx), pick(w_b, rows_idx),
         pick(w_c, rows_idx), pick(a_k, rows_idx), pick(d_k, rows_idx),
@@ -460,7 +473,7 @@ def _ss2d_image_block_fwd_only(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A,
 
 def _xla_compose(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip,
                  delta_bias, ln_g, ln_b, local, proj_w, gate,
-                 delta_softplus, has_local, eps):
+                 delta_softplus, has_local, eps, silu_input=False):
     """Unfused reference composition (the VJP remat path); the scan itself
     still uses the Pallas image kernels + Pallas backward, falling back to
     the decimated [B, K, L, D] kernel at deep scales where the image
@@ -471,6 +484,8 @@ def _xla_compose(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip,
 
     B, H, W, D = xs_conv.shape
     N = A.shape[-1]
+    if silu_input:
+        xs_conv = xs_conv * jax.nn.sigmoid(xs_conv)
     if image_scan_vmem_ok(H, W, D, N):
         ys_rows, ys_cols = _scan_image(
             xs_conv, w_delta, w_b, w_c, A, Dskip, delta_bias, delta_softplus
@@ -502,19 +517,21 @@ def _xla_compose(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip,
 
 def _sib_fwd(x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip,
              delta_bias, ln_g, ln_b, local, proj_w, gate, delta_softplus,
-             has_local, eps):
+             has_local, eps, silu_input):
     out = _ss2d_image_block_fwd_only(
         x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip, delta_bias,
         ln_g, ln_b, local, proj_w, gate, delta_softplus, has_local, eps,
+        silu_input,
     )
     return out, (x1, xs_conv, x_raw, w_z, w_delta, w_b, w_c, A, Dskip,
                  delta_bias, ln_g, ln_b, local, proj_w, gate)
 
 
-def _sib_bwd(delta_softplus, has_local, eps, res, g):
+def _sib_bwd(delta_softplus, has_local, eps, silu_input, res, g):
     args = res
     _, vjp = jax.vjp(
-        lambda *a: _xla_compose(*a, delta_softplus, has_local, eps), *args
+        lambda *a: _xla_compose(*a, delta_softplus, has_local, eps,
+                                silu_input), *args
     )
     return vjp(g)
 
@@ -527,14 +544,15 @@ def ss2d_image_block(
     w_z, x_proj_weight, dt_projs_weight, A, Dskip, delta_bias,
     ln_g, ln_b, local, proj_w, gate,
     dt_rank: int, d_state: int, delta_softplus: bool = True,
-    eps: float = 1e-5,
+    eps: float = 1e-5, silu_input: bool = False,
 ):
     """The complete fused SS2D + MambaBlock-tail:
 
         x_raw + gate * out_proj( LN(scan(xs_conv)) * silu(x1 @ w_z) + local )
 
     x1: [B,H,W,C0] modulated block input; xs_conv: [B,H,W,D] post-dwconv
-    scan input; x_raw: [B,H,W,C0] residual; w_z: [C0,D] (z half of in_proj);
+    scan input (pre-silu when ``silu_input`` — the silu then runs inside
+    the kernels); x_raw: [B,H,W,C0] residual; w_z: [C0,D] (z half of in_proj);
     proj_w: [D,C0]; gate: [B,C0]; local: [B,D] or None; ln_g/ln_b: [D].
     Requires even H/W, step_size=2 and ``image_scan_vmem_ok``.
     """
@@ -548,7 +566,7 @@ def ss2d_image_block(
     return _ss2d_image_block(
         x1, xs_conv, x_raw, w_z.astype(io), w_delta.astype(io),
         w_b.astype(io), w_c.astype(io), A, Dskip, delta_bias, ln_g, ln_b,
-        local, proj_w, gate, delta_softplus, has_local, eps,
+        local, proj_w, gate, delta_softplus, has_local, eps, silu_input,
     )
 
 

@@ -291,3 +291,37 @@ def test_mamba_block_op_grads_match_compose():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+def test_image_block_silu_input_matches_external_silu():
+    """FOUNDDIFF_SILU=kernel path: the kernel applies silu to xs_conv
+    itself; on fp32 inputs this must match applying silu outside (both
+    compute silu in f32)."""
+    import jax.nn as jnn
+
+    R, N = 8, 4
+    i = _inputs(1, 16, 16, 64, 128, N, R, seed=21)
+    kw = dict(
+        w_z=i["wz"], x_proj_weight=i["xw"], dt_projs_weight=i["dtw"],
+        A=i["A"], Dskip=i["Ds"], delta_bias=i["bias"], ln_g=i["lng"],
+        ln_b=i["lnb"], local=i["loc"], proj_w=i["pw"], gate=i["gate"],
+        dt_rank=R, d_state=N,
+    )
+    ref = ss2d_image_block(i["x1"], jnn.silu(i["xs"]), i["xr"], **kw)
+    out = ss2d_image_block(i["x1"], i["xs"], i["xr"], silu_input=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+    # gradients flow through the in-kernel silu via the remat VJP
+    loss_f = lambda xs: jnp.sum(
+        ss2d_image_block(i["x1"], xs, i["xr"], silu_input=True, **kw) ** 2
+    )
+    loss_r = lambda xs: jnp.sum(
+        ss2d_image_block(i["x1"], jnn.silu(xs), i["xr"], **kw) ** 2
+    )
+    g = jax.grad(loss_f)(i["xs"])
+    gr = jax.grad(loss_r)(i["xs"])
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(gr), rtol=2e-4, atol=2e-4
+    )
